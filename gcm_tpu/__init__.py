@@ -1,0 +1,51 @@
+"""gcm_tpu — a TPU-native graph-memory framework for reinforcement learning.
+
+Built from scratch in JAX/XLA/Pallas, providing the capabilities of Graph
+Convolutional Memory (arXiv 2106.14117; reference implementation
+proroklab/graph-conv-memory) as pure functions over fixed-shape pytrees.
+"""
+
+from gcm_tpu.core.graph_state import (
+    DenseGraphState,
+    SparseGraphState,
+    dense_initial_state,
+    sparse_initial_state,
+)
+from gcm_tpu.edges.chain import EdgeChain
+from gcm_tpu.edges.dense import DenseEdge
+from gcm_tpu.edges.distance import CosineEdge, EuclideanEdge, SpatialEdge
+from gcm_tpu.edges.learned import LearnedEdge
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.models.dense_gcm import DenseGCM
+from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEncoding
+from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import MLP, LayerNorm, Linear
+from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DenseGraphState",
+    "SparseGraphState",
+    "dense_initial_state",
+    "sparse_initial_state",
+    "EdgeChain",
+    "DenseEdge",
+    "CosineEdge",
+    "EuclideanEdge",
+    "SpatialEdge",
+    "LearnedEdge",
+    "TemporalBackedge",
+    "DenseGCM",
+    "PositionalEncoding",
+    "RelativePositionalEncoding",
+    "DenseGCNConv",
+    "DenseGNN",
+    "DenseGraphConv",
+    "MLP",
+    "LayerNorm",
+    "Linear",
+    "GCNConv",
+    "GraphConv",
+    "SparseGNN",
+]

@@ -1,0 +1,146 @@
+"""DenseGCM — dense-graph associative memory core.
+
+TPU-native re-design of reference DenseGCM (src/gcm/gcm.py:151-355). One step:
+
+1. ring-buffer wraparound (masked, batch-selective — gcm.py:323-355),
+2. insert the observation at row num_nodes[b] (gcm.py:274),
+3. edge selectors run on the *raw* (pre-preprocessor) nodes (gcm.py:284-287),
+4. optional preprocessor MLP on a dirty copy (gcm.py:290-291),
+5. optional aux selectors after positional encoding (gcm.py:294-306),
+6. user GNN over the dense graph (gcm.py:308),
+7. belief = features of the just-inserted node (or pooled) (gcm.py:309-314),
+8. num_nodes += 1.
+
+The graph state always stores raw observations; preprocessing happens on a
+separate value each step, exactly preserving the reference's aliasing
+discipline (gcm.py:262-291). The whole step is jittable; `scan` runs the
+recurrence over a trajectory with lax.scan (replacing the Python loop in the
+reference Ray adapter, ray_gcm.py:200-202).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.core.graph_state import (
+    DenseGraphState,
+    dense_initial_state,
+    dense_insert,
+    dense_wrap_overflow,
+)
+
+
+class DenseGCM:
+    def __init__(
+        self,
+        gnn,
+        preprocessor=None,
+        edge_selectors=None,
+        aux_edge_selectors=None,
+        graph_size: int = 128,
+        pooled: bool = False,
+        positional_encoder=None,
+        edge_weights: bool = False,
+    ):
+        self.gnn = gnn
+        self.preprocessor = preprocessor
+        self.edge_selectors = edge_selectors
+        self.aux_edge_selectors = aux_edge_selectors
+        self.graph_size = graph_size
+        self.pooled = pooled
+        self.positional_encoder = positional_encoder
+        self.edge_weights = edge_weights
+
+    # -- params ------------------------------------------------------------
+    def init(self, key):
+        params = {}
+        key, sub = jax.random.split(key)
+        params["gnn"] = self.gnn.init(sub)
+        for name in ("preprocessor", "edge_selectors", "aux_edge_selectors",
+                     "positional_encoder"):
+            mod = getattr(self, name)
+            if mod is not None:
+                key, sub = jax.random.split(key)
+                params[name] = mod.init(sub)
+        return params
+
+    # -- state -------------------------------------------------------------
+    def initial_state(self, B: int, feat: int, dtype=jnp.float32) -> DenseGraphState:
+        """Zero hidden state (reference get_initial_hidden_state, gcm.py:194-211)."""
+        return dense_initial_state(B, self.graph_size, feat,
+                                   edge_weights=self.edge_weights, dtype=dtype)
+
+    # -- one timestep ------------------------------------------------------
+    def __call__(self, params, x, state: DenseGraphState, key=None):
+        """x: [B, F] observation. Returns (belief [B, F_out], new state)."""
+        B = x.shape[0]
+        b_idx = jnp.arange(B)
+
+        state = dense_wrap_overflow(state)
+        state = dense_insert(state, x)
+        nodes, adj, weights, num_nodes = state
+
+        dirty_nodes = nodes
+
+        if self.edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            adj, weights = self.edge_selectors(
+                params["edge_selectors"], dirty_nodes, adj, weights, num_nodes,
+                key=sub,
+            )
+
+        if self.preprocessor is not None:
+            dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)
+
+        if self.aux_edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            enc = dirty_nodes
+            if self.positional_encoder is not None:
+                enc = self.positional_encoder(
+                    params["positional_encoder"], dirty_nodes, num_nodes
+                )
+            adj, weights = self.aux_edge_selectors(
+                params["aux_edge_selectors"], enc, adj, weights, num_nodes,
+                key=sub,
+            )
+
+        node_feats = self.gnn(params["gnn"], dirty_nodes, adj, weights)
+        if self.pooled:
+            mx = node_feats
+        else:
+            mx = node_feats[b_idx, num_nodes]
+
+        return mx, DenseGraphState(nodes, adj, weights, num_nodes + 1)
+
+    # -- trajectory --------------------------------------------------------
+    def scan(self, params, xs, state: DenseGraphState, key=None):
+        """Run the recurrence over a whole trajectory with lax.scan.
+
+        xs: [B, T, F] (time axis scanned). Returns (beliefs [B, T, F_out],
+        final state). The per-step Python loop of the reference RL adapter
+        (ray_gcm.py:200-202) compiled into a single XLA while loop.
+        """
+        T = xs.shape[1]
+        if key is None:
+            keys = None
+        else:
+            keys = jax.random.split(key, T)
+
+        def step(carry, inp):
+            if keys is None:
+                x = inp
+                k = None
+            else:
+                x, k = inp
+            out, new_state = self(params, x, carry, key=k)
+            return new_state, out
+
+        xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
+        inputs = xs_t if keys is None else (xs_t, keys)
+        final_state, outs = jax.lax.scan(step, state, inputs)
+        return jnp.swapaxes(outs, 0, 1), final_state

@@ -1,0 +1,138 @@
+"""Dense (adjacency-matrix) graph convolutions — the GNN layer zoo, dense side.
+
+TPU-native implementations of torch_geometric's DenseGraphConv / DenseGCNConv
+semantics (the canonical GNNs for DenseGCM — reference src/gcm/gcm.py:308 and
+tests/test_gcm.py:95-101, 202-240 which pin lin_root/lin_rel behavior). The
+whole layer is batched matmul (`adj @ x` then two linears), which is exactly
+what the MXU wants; the fused Pallas variant lives in gcm_tpu.ops.pallas.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.nn.module import Linear
+
+
+class DenseGraphConv:
+    """out = lin_rel(aggr(adj, x)) + lin_root(x).
+
+    aggr='add'  : aggr = adj @ x
+    aggr='mean' : aggr = adj @ x / max(deg, 1)
+    aggr='max'  : elementwise max over in-neighbors
+
+    Matches torch_geometric.nn.DenseGraphConv. `adj[b, i, j] != 0` means the
+    message flows j -> i (sink-row convention, reference
+    edge_selectors/temporal.py:5-14).
+    """
+
+    def __init__(self, in_dim: int, out_dim: int, aggr: str = "add",
+                 use_bias: bool = True, dtype=jnp.float32):
+        assert aggr in ("add", "mean", "max")
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.aggr = aggr
+        self.lin_rel = Linear(in_dim, out_dim, use_bias=use_bias, dtype=dtype)
+        self.lin_root = Linear(in_dim, out_dim, use_bias=False, dtype=dtype)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"lin_rel": self.lin_rel.init(k1),
+                "lin_root": self.lin_root.init(k2)}
+
+    def __call__(self, params, x, adj, mask=None):
+        if self.aggr == "add":
+            agg = jnp.einsum("bij,bjf->bif", adj, x)
+        elif self.aggr == "mean":
+            agg = jnp.einsum("bij,bjf->bif", adj, x)
+            deg = jnp.sum(adj, axis=-1, keepdims=True)
+            agg = agg / jnp.maximum(deg, 1.0)
+        else:  # max
+            neg = jnp.finfo(x.dtype).min
+            msgs = jnp.where((adj != 0)[..., None], x[:, None, :, :], neg)
+            agg = jnp.max(msgs, axis=2)
+            agg = jnp.where(agg == neg, 0.0, agg)
+        out = self.lin_rel(params["lin_rel"], agg) + self.lin_root(
+            params["lin_root"], x
+        )
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
+class DenseGCNConv:
+    """Dense GCN layer: out = D^-1/2 (A with unit diagonal) D^-1/2 (x W) + b.
+
+    Matches torch_geometric.nn.DenseGCNConv: with add_loop=True the diagonal
+    is *set* to 1 (2 if improved), degrees are clamped to >= 1.
+    """
+
+    def __init__(self, in_dim: int, out_dim: int, improved: bool = False,
+                 use_bias: bool = True, dtype=jnp.float32):
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.improved = improved
+        self.use_bias = use_bias
+        self.lin = Linear(in_dim, out_dim, use_bias=False, init="glorot",
+                          dtype=dtype)
+        self.dtype = dtype
+
+    def init(self, key):
+        params = {"lin": self.lin.init(key)}
+        if self.use_bias:
+            params["bias"] = jnp.zeros((self.out_dim,), self.dtype)
+        return params
+
+    def __call__(self, params, x, adj, mask=None, add_loop: bool = True):
+        B, N, _ = x.shape
+        if add_loop:
+            eye = jnp.eye(N, dtype=adj.dtype)
+            diag_val = 2.0 if self.improved else 1.0
+            adj = adj * (1.0 - eye) + eye * diag_val
+        out = self.lin(params["lin"], x)
+        deg_inv_sqrt = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(adj, axis=-1), 1.0)
+        )
+        adj = deg_inv_sqrt[:, :, None] * adj * deg_inv_sqrt[:, None, :]
+        out = jnp.einsum("bij,bjf->bif", adj, out)
+        if self.use_bias:
+            out = out + params["bias"]
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
+class DenseGNN:
+    """A stack of dense conv layers and activation callables, composing a GNN
+    with the DenseGCM signature gnn(params, x, adj, weights) -> x.
+
+    Mirrors the reference's torch_geometric.nn.Sequential usage
+    (ray_gcm.py:34-42); conv layers receive (x, adj), activations receive x.
+    If `use_weights`, adj is multiplied elementwise by the weight matrix
+    before convolution (for learned/bernoulli edges, gcm.py:179-181).
+    """
+
+    def __init__(self, layers, use_weights: bool = False):
+        self.layers = layers
+        self.use_weights = use_weights
+
+    def init(self, key):
+        params = []
+        for layer in self.layers:
+            if hasattr(layer, "init"):
+                key, sub = jax.random.split(key)
+                params.append(layer.init(sub))
+            else:
+                params.append({})
+        return params
+
+    def __call__(self, params, x, adj, weights=None):
+        if self.use_weights and weights is not None and weights.size > 0:
+            adj = adj * weights
+        for layer, p in zip(self.layers, params):
+            if hasattr(layer, "init"):
+                x = layer(p, x, adj)
+            else:
+                x = layer(x)
+        return x
