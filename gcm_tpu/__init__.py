@@ -16,7 +16,16 @@ from gcm_tpu.edges.dense import DenseEdge
 from gcm_tpu.edges.distance import CosineEdge, EuclideanEdge, SpatialEdge
 from gcm_tpu.edges.learned import LearnedEdge
 from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.edges.sparse_learned import LearnedEdge as SparseLearnedEdge
+from gcm_tpu.edges.sparse_spatial import (
+    SparseEdgeChain,
+    SpatialKNNEdge,
+    SpatialRadiusEdge,
+)
+from gcm_tpu.edges.sparse_temporal import TemporalEdge
 from gcm_tpu.models.dense_gcm import DenseGCM
+from gcm_tpu.models.sparse_gcm import SparseGCM
+from gcm_tpu.utils.packing import pack_hidden, unpack_hidden
 from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEncoding
 from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
 from gcm_tpu.nn.module import MLP, LayerNorm, Linear
@@ -25,6 +34,14 @@ from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
 __version__ = "0.1.0"
 
 __all__ = [
+    "SparseGCM",
+    "SparseLearnedEdge",
+    "SparseEdgeChain",
+    "SpatialKNNEdge",
+    "SpatialRadiusEdge",
+    "TemporalEdge",
+    "pack_hidden",
+    "unpack_hidden",
     "DenseGraphState",
     "SparseGraphState",
     "dense_initial_state",

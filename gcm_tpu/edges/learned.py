@@ -22,17 +22,18 @@ from gcm_tpu.nn.module import LayerNorm, Linear, MLP
 from gcm_tpu.utils.ste import gumbel_softmax, spardmax, ste
 
 
-def default_edge_network(input_size: int) -> MLP:
+def default_edge_network(input_size: int, init: str = "torch") -> MLP:
     """The reference's scorer: Linear(2F,F)→ReLU→LN→Linear(F,F)→ReLU→LN→
-    Linear(F,1) (learned.py:38-51)."""
+    Linear(F,1) (learned.py:38-51). The sparse variant orthogonally
+    initializes the linears (sparse_edge_selectors/learned.py:63-65)."""
     return MLP([
-        Linear(2 * input_size, input_size),
+        Linear(2 * input_size, input_size, init=init),
         jax.nn.relu,
         LayerNorm(input_size),
-        Linear(input_size, input_size),
+        Linear(input_size, input_size, init=init),
         jax.nn.relu,
         LayerNorm(input_size),
-        Linear(input_size, 1),
+        Linear(input_size, 1, init=init),
     ])
 
 

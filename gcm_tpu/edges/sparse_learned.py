@@ -1,0 +1,112 @@
+"""Learned edge selector, sparse (time-batched) API.
+
+TPU-native sparse LearnedEdge (reference
+src/gcm/sparse_edge_selectors/learned.py:12-160): an MLP scores all *causal*
+(sink ≥ T, source < sink) node pairs, optionally windowed; logits pass through
+a sparse gumbel softmax (stochastic) or tempered softmax (deterministic) over
+the source dimension with a learnable, clamped temperature; entries above the
+cutoff 1/(1+num_edge_samples) become edges.
+
+The reference's ragged candidate list (util.get_causal_edges, util.py:270-282)
+becomes the dense candidate grid [B, t, N] with a causal mask — one batched
+MLP over the pair grid (the SDDMM-style hot path, SURVEY.md N3). The sparse
+softmax over COO dim=2 is exactly a masked softmax over the grid's source
+axis. Per-call stats (edges_per_node, edge_density, logits mean/var,
+temperature — reference learned.py:153-159) are returned as an aux dict.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.edges.learned import default_edge_network
+from gcm_tpu.nn.module import MLP
+from gcm_tpu.utils.ste import masked_gumbel_softmax, masked_tempered_softmax
+
+
+class LearnedEdge:
+    def __init__(
+        self,
+        input_size: int = 0,
+        model: MLP | None = None,
+        num_edge_samples: int = 5,
+        deterministic: bool = False,
+        window: int | None = None,
+        softmax_temp: float = 1.0,
+        learn_softmax_temp: bool = True,
+        temp_bounds: Tuple[float, float] = (0.001, 5.0),
+    ):
+        assert input_size or model, "Must specify either input_size or model"
+        self.deterministic = deterministic
+        self.num_edge_samples = num_edge_samples
+        self.window = window
+        self.softmax_temp = softmax_temp
+        self.learn_softmax_temp = learn_softmax_temp
+        self.temp_bounds = temp_bounds
+        self.edge_network = (
+            model if model is not None
+            else default_edge_network(input_size, init="orthogonal")
+        )
+
+    def init(self, key):
+        params = {"edge_network": self.edge_network.init(key)}
+        if self.learn_softmax_temp:
+            params["tau"] = jnp.asarray([self.softmax_temp], jnp.float32)
+        return params
+
+    def _temperature(self, params):
+        if self.learn_softmax_temp:
+            return jnp.clip(params["tau"][0], *self.temp_bounds)
+        return jnp.asarray(self.softmax_temp, jnp.float32)
+
+    def __call__(self, params, nodes, T, taus, t, key=None):
+        B, N, F = nodes.shape
+        i = jnp.arange(t)[None, :]  # new-node offset
+        sink = T[:, None] + i  # [B, t]
+        j = jnp.arange(N)[None, None, :]  # source idx [1,1,N]
+        cand = (
+            (i < taus[:, None])[..., None]
+            & (j < jnp.clip(sink, 0, N)[..., None])  # causal: source < sink
+        )
+        if self.window is not None:
+            # reference windows sources to >= T - window (util.py:252-259)
+            cand = cand & (j >= jnp.maximum(T[:, None, None] - self.window, 0))
+
+        sink_feats = jnp.take_along_axis(
+            nodes, jnp.clip(sink, 0, N - 1)[..., None], axis=1
+        )  # [B, t, F]
+        pair_in = jnp.concatenate(
+            [
+                jnp.broadcast_to(sink_feats[:, :, None, :], (B, t, N, F)),
+                jnp.broadcast_to(nodes[:, None, :, :], (B, t, N, F)),
+            ],
+            axis=-1,
+        )  # [B, t, N, 2F]
+        logits = self.edge_network(params["edge_network"], pair_in)[..., 0]
+
+        tau_temp = self._temperature(params)
+        cutoff = 1.0 / (1 + self.num_edge_samples)
+        if self.deterministic:
+            soft = masked_tempered_softmax(logits, cand, axis=2, tau=tau_temp)
+        else:
+            soft = masked_gumbel_softmax(key, logits, cand, axis=2, tau=tau_temp)
+        keep = soft > cutoff
+        grid = jnp.where(keep & cand, soft, 0.0)
+
+        n_edges = jnp.sum(keep & cand)
+        n_cand = jnp.maximum(jnp.sum(cand), 1)
+        lmask = cand
+        lsum = jnp.sum(jnp.where(lmask, logits, 0.0))
+        lmean = lsum / n_cand
+        lvar = jnp.sum(jnp.where(lmask, (logits - lmean) ** 2, 0.0)) / n_cand
+        aux = {
+            "edges_per_node": n_edges / jnp.maximum(jnp.sum(taus), 1),
+            "edge_density": n_edges / n_cand,
+            "logits_mean": lmean,
+            "logits_var": lvar,
+            "temperature": tau_temp,
+        }
+        return grid, aux

@@ -1,0 +1,198 @@
+"""SparseGCM — sparse, time-batched memory core.
+
+TPU-native re-design of reference SparseGCM (src/gcm/sparse_gcm.py:12-212).
+Processes a zero-padded window x [B, t, F] with per-batch valid lengths
+taus [B] in ONE forward pass (whole-rollout training — the capability the
+dense core lacks).
+
+Representation: instead of dynamic-nnz COO (unimplementable under XLA static
+shapes), the persistent adjacency is the fixed-capacity padded edge list
+[B, 2, E] with -1 sentinels — the exact format the reference itself uses at
+its Ray boundary (util.py:323-353). Edge selectors emit dense per-pair grids
+[B, t, N] (see edges/sparse_temporal.py) that are compacted and appended at a
+per-batch cursor; since a grid has one lane per (sink, source) pair and new
+sinks are disjoint from all previous sinks, duplicate edges cannot occur, so
+the reference's coalesce(reduce='mean')-to-weight-1 semantics hold by
+construction.
+
+Weight normalization: new-edge soft values v become v / stop_grad(v) = 1.0
+with live gradient (reference sparse_gcm.py:154-164).
+
+max_hops: the reference extracts the k-hop subgraph around the output nodes
+purely as a compute-saving device (sparse_gcm.py:176-199) — outputs at the new
+nodes are mathematically identical with or without it (pinned by
+tests/test_sparse_gcm.py:349-540). Under XLA's static shapes a gather-smaller-
+subgraph saves nothing, so max_hops is accepted and validated but is a no-op.
+
+Overflow: the reference raises (sparse_gcm.py:120-121). Inside jit we cannot
+raise; writes beyond capacity are dropped (trash row) — call
+`check_overflow(state, taus)` outside jit to assert, or inspect the returned
+state's `t`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.core.graph_state import SparseGraphState, sparse_initial_state
+from gcm_tpu.ops.scatter import append_edges, nonzero_padded, rows_set
+from gcm_tpu.utils.ste import grad_preserving_ones
+
+
+class SparseGCM:
+    def __init__(
+        self,
+        gnn,
+        preprocessor=None,
+        edge_selectors=None,
+        aux_edge_selectors=None,
+        graph_size: int = 128,
+        max_edges: int = 1024,
+        max_hops: int | None = None,
+        positional_encoder=None,
+    ):
+        self.gnn = gnn
+        self.preprocessor = preprocessor
+        self.edge_selectors = edge_selectors
+        self.aux_edge_selectors = aux_edge_selectors
+        self.graph_size = graph_size
+        self.max_edges = max_edges
+        self.max_hops = max_hops
+        self.positional_encoder = positional_encoder
+
+    # -- params ------------------------------------------------------------
+    def init(self, key):
+        params = {}
+        key, sub = jax.random.split(key)
+        params["gnn"] = self.gnn.init(sub)
+        for name in ("preprocessor", "edge_selectors", "aux_edge_selectors",
+                     "positional_encoder"):
+            mod = getattr(self, name)
+            if mod is not None:
+                key, sub = jax.random.split(key)
+                params[name] = mod.init(sub)
+        return params
+
+    # -- state -------------------------------------------------------------
+    def initial_state(self, B: int, feat: int, dtype=jnp.float32) -> SparseGraphState:
+        """Empty state (reference get_initial_hidden_state, sparse_gcm.py:55-70)."""
+        return sparse_initial_state(B, self.graph_size, feat, self.max_edges,
+                                    dtype=dtype)
+
+    # -- forward -----------------------------------------------------------
+    def __call__(self, params, x, taus, state: SparseGraphState, key=None,
+                 return_aux: bool = False):
+        """x: [B, t, F] zero-padded window, taus: [B] valid lengths.
+        Returns (mx [B, t, F_out] zero-padded, new state[, aux])."""
+        B, t, F = x.shape
+        N = self.graph_size
+        nodes, edges, weights, T, num_edges = state
+        aux = {}
+
+        # insert the tau new nodes at rows T..T+tau (sparse_gcm.py:113-123)
+        i = jnp.arange(t)[None, :]
+        rows = T[:, None] + i  # [B, t]
+        new_mask = (i < taus[:, None]) & (rows < N)
+        nodes = rows_set(nodes, rows, x, new_mask)
+        dirty_nodes = nodes
+
+        def run_selector(sel, sel_params, feats, sel_key):
+            grid, sel_aux = sel(sel_params, feats, T, taus, t, key=sel_key)
+            return grid, sel_aux
+
+        def append_grid(edges, weights, num_edges, grid):
+            """Compact a [B, t, N] weight grid into the padded edge list."""
+            mask = grid > 0
+            flat_mask = mask.reshape(B, t * N)
+            k = min(t * N, self.max_edges)
+            idx, valid, _ = nonzero_padded(flat_mask, k)  # [B, k]
+            ti = idx // N  # new-node offset
+            sj = idx % N  # source
+            sinks = jnp.take_along_axis(rows, jnp.clip(ti, 0, t - 1), axis=1)
+            vals = jnp.take_along_axis(grid.reshape(B, t * N), idx, axis=1)
+            # weight normalization with gradient flow (sparse_gcm.py:154-164)
+            vals = jnp.where(valid, grad_preserving_ones(
+                jnp.where(valid, vals, 1.0)), 1.0)
+            new_e = jnp.stack(
+                [jnp.where(valid, sinks, -1), jnp.where(valid, sj, -1)], axis=1
+            )
+            edges, weights, num_edges, _ = append_edges(
+                edges, weights, num_edges, new_e, vals, valid
+            )
+            return edges, weights, num_edges
+
+        if self.edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            grid, sel_aux = run_selector(
+                self.edge_selectors, params["edge_selectors"], dirty_nodes, sub
+            )
+            aux.update(sel_aux)
+            edges, weights, num_edges = append_grid(edges, weights, num_edges,
+                                                    grid)
+
+        if self.preprocessor is not None:
+            dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)
+        if self.positional_encoder is not None:
+            dirty_nodes = self.positional_encoder(
+                params["positional_encoder"], dirty_nodes, T + taus
+            )
+        if self.aux_edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            grid, sel_aux = run_selector(
+                self.aux_edge_selectors, params["aux_edge_selectors"],
+                dirty_nodes, sub,
+            )
+            aux.update({f"aux/{k}": v for k, v in sel_aux.items()})
+            edges, weights, num_edges = append_grid(edges, weights, num_edges,
+                                                    grid)
+
+        # GNN over the padded edge list (no flatten/flip needed — the batched
+        # SpMM aggregates source -> sink directly; reference flattens for
+        # torch_geometric ingestion, sparse_gcm.py:165-178)
+        node_feats = self.gnn(params["gnn"], dirty_nodes, edges, weights)
+
+        # gather outputs at the new rows; padding stays zero
+        # (sparse_gcm.py:205-208)
+        safe_rows = jnp.clip(rows, 0, N - 1)
+        mx = jnp.take_along_axis(node_feats, safe_rows[..., None], axis=1)
+        mx = jnp.where(new_mask[..., None], mx, 0.0)
+
+        new_state = SparseGraphState(nodes, edges, weights, T + taus, num_edges)
+        if return_aux:
+            return mx, new_state, aux
+        return mx, new_state
+
+    # -- helpers -----------------------------------------------------------
+    def check_overflow(self, state: SparseGraphState, taus) -> None:
+        """Outside-jit guard replicating the reference's raise
+        (sparse_gcm.py:120-121)."""
+        import numpy as np
+
+        if np.any(np.asarray(state.t + taus) > self.graph_size):
+            raise Exception("Overflow")
+
+    def scan(self, params, xs, state: SparseGraphState, key=None):
+        """Step the sparse core one timestep at a time over xs [B, T, F]
+        (t=1 windows) under lax.scan — the step-by-step execution mode of the
+        reference parity suite (tests/test_sparse_gcm.py:349-540)."""
+        B, T_len, F = xs.shape
+        taus1 = jnp.ones((B,), jnp.int32)
+        keys = None if key is None else jax.random.split(key, T_len)
+
+        def step(carry, inp):
+            if keys is None:
+                x_t, k = inp, None
+            else:
+                x_t, k = inp
+            out, new_state = self(params, x_t[:, None, :], taus1, carry, key=k)
+            return new_state, out[:, 0, :]
+
+        xs_t = jnp.swapaxes(xs, 0, 1)
+        inputs = xs_t if keys is None else (xs_t, keys)
+        final_state, outs = jax.lax.scan(step, state, inputs)
+        return jnp.swapaxes(outs, 0, 1), final_state
