@@ -1,0 +1,182 @@
+"""NavGCM — navigation-specialized memory core.
+
+TPU-native re-design of reference NavGCM (src/gcm/nav_gcm.py:12-263): state
+holds raw observations, positions, and rotations; edges are *recomputed every
+forward* from geometry (radius or kNN over positions) instead of persisted.
+Causal mode restricts edges to source < sink, which lets whole-sequence
+training match step-by-step inference exactly (the contract pinned by
+tests/test_nav_gcm.py:172-270).
+
+Differences from the reference (deliberate):
+- `max_num_neighbors` keeps the k *nearest* causal sources per sink; the
+  reference caps with torch-cluster's implementation-defined subset computed
+  before the causal filter (nav_gcm.py:106-124), which can differ between
+  train and inference when the cap binds — ours cannot.
+- `full` (non-causal) mode is implemented correctly; the reference's
+  full_forward is a dead path (references an undefined name, nav_gcm.py:261).
+- KNN mode works (the reference asserts it broken, nav_gcm.py:33).
+
+GNN protocol: gnn(params, x, adj_mask, pos, rot, valid_mask, T, taus) -> feats
+[B, V, F_out]. `adj_mask[b, i, j]` = message j -> i. NavDenseGNN adapts the
+dense conv stack to this signature (concatenating pos/rot like the reference
+test GNN, tests/test_nav_gcm.py:13-28).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.ops.distance import cdist
+from gcm_tpu.ops.scatter import rows_set
+
+
+class NavState(NamedTuple):
+    x: jax.Array     # [B, V, F]
+    pos: jax.Array   # [B, V, P]
+    rot: jax.Array   # [B, V, R]
+    t: jax.Array     # [B] int32
+
+
+class NavDenseGNN:
+    """Adapter: run a dense conv stack over cat(x, pos, rot) with the nav
+    adjacency mask as the dense adjacency."""
+
+    def __init__(self, layers, use_pose: bool = True):
+        self.layers = layers
+        self.use_pose = use_pose
+
+    def init(self, key):
+        params = []
+        for layer in self.layers:
+            if hasattr(layer, "init"):
+                key, sub = jax.random.split(key)
+                params.append(layer.init(sub))
+            else:
+                params.append({})
+        return params
+
+    def __call__(self, params, x, adj_mask, pos, rot, valid, T, taus):
+        if self.use_pose:
+            x = jnp.concatenate([x, pos, rot], axis=-1)
+        adj = adj_mask.astype(x.dtype)
+        for layer, p in zip(self.layers, params):
+            if hasattr(layer, "init"):
+                x = layer(p, x, adj)
+            else:
+                x = layer(x)
+        return x
+
+
+class NavGCM:
+    def __init__(
+        self,
+        gnn,
+        pool: bool = False,
+        max_verts: int = 128,
+        edge_method: str = "radius",
+        k: int = 16,
+        r: float = 1.0,
+        causal: bool = True,
+    ):
+        assert edge_method in ("knn", "radius")
+        self.gnn = gnn
+        self.pool = pool
+        self.max_verts = max_verts
+        self.edge_method = edge_method
+        self.k = k
+        self.r = r
+        self.causal = causal
+
+    def init(self, key):
+        return {"gnn": self.gnn.init(key)}
+
+    def initial_state(self, B: int, feat: int, pos_dim: int = 2,
+                      rot_dim: int = 1, dtype=jnp.float32) -> NavState:
+        V = self.max_verts
+        return NavState(
+            x=jnp.zeros((B, V, feat), dtype),
+            pos=jnp.zeros((B, V, pos_dim), dtype),
+            rot=jnp.zeros((B, V, rot_dim), dtype),
+            t=jnp.zeros((B,), jnp.int32),
+        )
+
+    # -- geometry ----------------------------------------------------------
+    def _edges(self, pos, valid):
+        """Adjacency mask [B, V, V]: mask[b, i, j] = edge j -> i."""
+        d = cdist(pos, pos)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        if self.causal:
+            # source strictly before sink (removes self loops like the
+            # reference causal filter, nav_gcm.py:119-124)
+            iu = jnp.arange(pos.shape[1])
+            pair_ok = pair_ok & (iu[None, None, :] < iu[None, :, None])
+        if self.edge_method == "radius":
+            mask = (d <= self.r) & pair_ok
+        else:
+            mask = pair_ok
+        # keep the k nearest candidates per sink
+        if self.k is not None and self.k < pos.shape[1]:
+            big = jnp.finfo(d.dtype).max
+            dm = jnp.where(mask, d, big)
+            kth = jnp.sort(dm, axis=-1)[..., self.k - 1 : self.k]
+            mask = mask & (dm <= kth)
+        elif self.edge_method == "knn":
+            mask = mask  # k >= V: all candidates
+        return mask
+
+    # -- forward -----------------------------------------------------------
+    def __call__(self, params, x, pos, rot, taus, state: NavState):
+        """x: [B, τ, F], pos: [B, τ, P], rot: [B, τ, R], taus: [B].
+        Returns (padded output [B, τ, F_out], new state)."""
+        B, t, _ = x.shape
+        V = self.max_verts
+        old_x, old_pos, old_rot, T = state
+
+        i = jnp.arange(t)[None, :]
+        rows = T[:, None] + i
+        new_mask = (i < taus[:, None]) & (rows < V)
+        new_x = rows_set(old_x, rows, x, new_mask)
+        new_pos = rows_set(old_pos, rows, pos, new_mask)
+        new_rot = rows_set(old_rot, rows, rot, new_mask)
+        total = T + taus
+        valid = jnp.arange(V)[None, :] < total[:, None]
+
+        if self.causal:
+            adj = self._edges(new_pos, valid)
+            feats = self.gnn(params["gnn"], new_x, adj, new_pos, new_rot,
+                             valid, T, taus)
+            safe_rows = jnp.clip(rows, 0, V - 1)
+            out = jnp.take_along_axis(feats, safe_rows[..., None], axis=1)
+        else:
+            # full (loop-closure) mode: one graph per timestep — node set is
+            # the prefix 0..T+step, edges non-causal within the prefix,
+            # output read at node T+step (fixes reference full_forward,
+            # nav_gcm.py:199-235)
+            def per_step(step):
+                prefix = jnp.arange(V)[None, :] <= jnp.clip(
+                    T + step, 0, V - 1
+                )[:, None]
+                pv = prefix & valid
+                adj = self._edges(new_pos, pv)
+                feats = self.gnn(params["gnn"], new_x, adj, new_pos, new_rot,
+                                 pv, T, taus)
+                row = jnp.clip(T + step, 0, V - 1)
+                return feats[jnp.arange(B), row]
+
+            out = jax.vmap(per_step, out_axes=1)(jnp.arange(t))
+
+        if self.pool:
+            adj = self._edges(new_pos, valid)
+            feats = self.gnn(params["gnn"], new_x, adj, new_pos, new_rot,
+                             valid, T, taus)
+            denom = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
+            pooled = jnp.sum(
+                jnp.where(valid[..., None], feats, 0.0), axis=1
+            ) / denom
+            out = jnp.broadcast_to(pooled[:, None, :], (B, t, pooled.shape[-1]))
+
+        out = jnp.where(new_mask[..., None], out, 0.0)
+        return out, NavState(new_x, new_pos, new_rot, total)

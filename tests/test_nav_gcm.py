@@ -1,0 +1,211 @@
+"""NavGCM tests: index helpers (mirroring the expected values pinned in
+reference tests/test_nav_gcm.py:30-131), state update (:135-170), and the
+train-vs-inference parity contract (:172-270)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM, NavState
+from gcm_tpu.nn.dense_conv import DenseGraphConv
+from gcm_tpu.utils import indexing as ix
+
+
+def unpadded(*arrs_and_mask):
+    *arrs, mask = arrs_and_mask
+    m = np.array(mask)
+    return [np.array(a)[m] for a in arrs]
+
+
+class TestIndexing:
+    """Expected values from reference tests/test_nav_gcm.py:34-131."""
+
+    def test_ragged(self):
+        T = jnp.array([1, 2], jnp.int32)
+        taus = jnp.array([2, 3], jnp.int32)
+        b, t, m = ix.get_valid_node_idxs(T, taus, cap=10)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0, 0, 0, 1, 1, 1, 1, 1]
+        assert tv.tolist() == [0, 1, 2, 0, 1, 2, 3, 4]
+
+        b, t, m = ix.get_new_node_idxs(T, taus, cap=8)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0, 0, 1, 1, 1]
+        assert tv.tolist() == [1, 2, 2, 3, 4]
+
+        f, m = ix.make_flat_new_idx(T, taus, cap=8)
+        (fv,) = unpadded(f, m)
+        assert fv.tolist() == [1, 2, 5, 6, 7]
+
+        b, t, m = ix.make_output_idx(taus, cap=8)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0, 0, 1, 1, 1]
+        assert tv.tolist() == [0, 1, 0, 1, 2]
+
+        front, back = ix.front_back_ptr(T, taus)
+        assert np.array(back).tolist() == [2, 7]
+        assert np.array(front).tolist() == [0, 3]
+
+    def test_base_case(self):
+        T = jnp.array([0, 0, 0], jnp.int32)
+        taus = jnp.array([1, 1, 1], jnp.int32)
+        b, t, m = ix.get_valid_node_idxs(T, taus, cap=6)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0, 1, 2]
+        assert tv.tolist() == [0, 0, 0]
+        f, m = ix.make_flat_new_idx(T, taus, cap=6)
+        (fv,) = unpadded(f, m)
+        assert fv.tolist() == [0, 1, 2]
+        front, back = ix.front_back_ptr(T, taus)
+        assert np.array(back).tolist() == [0, 1, 2]
+        assert np.array(front).tolist() == [0, 1, 2]
+
+    def test_inference(self):
+        T = jnp.array([2], jnp.int32)
+        taus = jnp.array([1], jnp.int32)
+        b, t, m = ix.get_new_node_idxs(T, taus, cap=4)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0] and tv.tolist() == [2]
+        f, m = ix.make_flat_new_idx(T, taus, cap=4)
+        (fv,) = unpadded(f, m)
+        assert fv.tolist() == [2]
+
+    def test_nonpadded(self):
+        T = jnp.array([5, 1], jnp.int32)
+        taus = jnp.array([2, 3], jnp.int32)
+        b, t, m = ix.get_nonpadded_idxs(T, taus, cap=8)
+        bv, tv = unpadded(b, t, m)
+        assert bv.tolist() == [0, 0, 1, 1, 1]
+        assert tv.tolist() == [0, 1, 0, 1, 2]
+
+    def test_causal_pair_mask_matches_reference_tril(self):
+        """Oracle: tril_indices-based candidate set (util.py:242-263)."""
+        T = np.array([2, 0])
+        taus = np.array([2, 3])
+        mask = np.array(ix.causal_pair_mask(jnp.array(T), jnp.array(taus),
+                                            t=3, N=8))
+        for b in range(2):
+            for i in range(3):
+                for j in range(8):
+                    want = i < taus[b] and j < T[b] + i
+                    assert mask[b, i, j] == want, (b, i, j)
+
+
+class TestUpdate:
+    def test_ragged_update(self):
+        """Mirrors reference tests/test_nav_gcm.py:137-170."""
+        gcm = NavGCM(gnn=NavDenseGNN([]), max_verts=10)
+        state = NavState(
+            x=jnp.zeros((2, 10, 1)), pos=jnp.zeros((2, 10, 2)),
+            rot=jnp.zeros((2, 10, 1)), t=jnp.array([1, 2], jnp.int32),
+        )
+        taus = jnp.array([2, 3], jnp.int32)
+        x_in = jnp.ones((2, 3, 1))
+        pos_in = jnp.ones((2, 3, 2))
+        rot_in = jnp.ones((2, 3, 1))
+        _, new_state = gcm({"gnn": []}, x_in, pos_in, rot_in, taus, state)
+        x = np.array(new_state.x)
+        assert (x[0, 1:3] == 1).all() and x[0, 0] == 0 and (x[0, 3:] == 0).all()
+        assert (x[1, 2:5] == 1).all() and (x[1, :2] == 0).all()
+        assert (np.array(new_state.pos)[0, 1:3] == 1).all()
+        assert np.array(new_state.t).tolist() == [3, 5]
+
+
+def make_nav(feats=1, max_verts=8, r=3.0, k=16, causal=True):
+    in_dim = feats + 2 + 1  # x ‖ pos ‖ rot like the reference test GNN
+    gnn = NavDenseGNN([DenseGraphConv(in_dim, 4), jnp.tanh])
+    return NavGCM(gnn, max_verts=max_verts, r=r, k=k, causal=causal,
+                  edge_method="radius")
+
+
+class TestE2EParity:
+    """Train-mode (whole sequence) ≡ inference-mode (step-by-step), the
+    reference contract at tests/test_nav_gcm.py:172-270."""
+
+    def _run(self, B):
+        V = 8
+        gcm = make_nav(max_verts=V)
+        params = gcm.init(jax.random.PRNGKey(0))
+        obs = jnp.arange(B * V * 1, dtype=jnp.float32).reshape(B, V, 1)
+        pos = jnp.arange(B * V * 2, dtype=jnp.float32).reshape(B, V, 2)
+        rot = jnp.arange(B * V * 1, dtype=jnp.float32).reshape(B, V, 1)
+
+        taus = jnp.full((B,), V, jnp.int32)
+        train_out, train_state = gcm(params, obs, pos, rot, taus,
+                                     gcm.initial_state(B, 1))
+
+        inf_state = gcm.initial_state(B, 1)
+        tau1 = jnp.ones((B,), jnp.int32)
+        outs = []
+        for i in range(V):
+            o, inf_state = gcm(params, obs[:, i : i + 1], pos[:, i : i + 1],
+                               rot[:, i : i + 1], tau1, inf_state)
+            assert np.allclose(np.array(o), np.array(train_out[:, i : i + 1]),
+                               atol=1e-5), f"step {i}"
+            outs.append(o)
+        inf_out = jnp.concatenate(outs, axis=1)
+        assert np.allclose(np.array(inf_out), np.array(train_out), atol=1e-5)
+        for a, b in zip(train_state, inf_state):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-6)
+
+    def test_one_batch(self):
+        self._run(1)
+
+    def test_multi_batch(self):
+        self._run(2)
+
+    def test_ragged_taus(self):
+        B, V = 2, 8
+        gcm = make_nav(max_verts=V)
+        params = gcm.init(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        obs = jax.random.normal(key, (B, V, 1))
+        pos = jax.random.normal(jax.random.PRNGKey(2), (B, V, 2)) * 2
+        rot = jax.random.normal(jax.random.PRNGKey(3), (B, V, 1))
+        taus = jnp.array([3, 5], jnp.int32)
+        out, state = gcm(params, obs, pos, rot, taus, gcm.initial_state(B, 1))
+        o = np.array(out)
+        assert np.allclose(o[0, 3:], 0.0)  # outputs beyond tau zero-padded
+        assert np.array(state.t).tolist() == [3, 5]
+
+    def test_knn_mode(self):
+        B, V = 1, 8
+        in_dim = 4
+        gnn = NavDenseGNN([DenseGraphConv(in_dim, 4), jnp.tanh])
+        gcm = NavGCM(gnn, max_verts=V, k=2, causal=True, edge_method="knn")
+        params = gcm.init(jax.random.PRNGKey(0))
+        obs = jnp.ones((B, V, 1))
+        pos = jnp.arange(B * V * 2, dtype=jnp.float32).reshape(B, V, 2)
+        rot = jnp.zeros((B, V, 1))
+        taus = jnp.full((B,), V, jnp.int32)
+        out, _ = gcm(params, obs, pos, rot, taus, gcm.initial_state(B, 1))
+        assert np.isfinite(np.array(out)).all()
+
+    def test_full_mode_runs(self):
+        B, V = 2, 6
+        gcm = make_nav(max_verts=V, causal=False)
+        params = gcm.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, V, 1))
+        pos = jax.random.normal(jax.random.PRNGKey(2), (B, V, 2))
+        rot = jnp.zeros((B, V, 1))
+        taus = jnp.full((B,), V, jnp.int32)
+        out, state = gcm(params, obs, pos, rot, taus, gcm.initial_state(B, 1))
+        assert np.isfinite(np.array(out)).all()
+        assert out.shape == (B, V, 4)
+
+    def test_grads_flow(self):
+        B, V = 2, 8
+        gcm = make_nav(max_verts=V)
+        params = gcm.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, V, 1))
+        pos = jax.random.normal(jax.random.PRNGKey(2), (B, V, 2))
+        rot = jnp.zeros((B, V, 1))
+        taus = jnp.full((B,), V, jnp.int32)
+
+        def loss(p):
+            o, _ = gcm(p, obs, pos, rot, taus, gcm.initial_state(B, 1))
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(params)
+        tot = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(tot) and tot > 0
