@@ -1,0 +1,103 @@
+"""Benchmark the flagship workload; prints ONE JSON line.
+
+Primary metric: DenseGCM timesteps/s on the BASELINE.json config 1 workload
+(B=32, obs=8, hidden=32, graph_size=128, TemporalBackedge([1]), 2-layer
+DenseGraphConv), forward pass over a 128-step scanned trajectory. Baseline is
+the PyTorch reference-equivalent measured by bench_reference.py on CPU
+(see BASELINE.md). Also reports fwd+bwd timesteps/s and padded-edge-list SpMM
+edges/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+_req = os.environ.get("JAX_PLATFORMS", "")
+if _req and "axon" not in _req:
+    jax.config.update("jax_platforms", _req)
+
+import jax.numpy as jnp
+
+# PyTorch reference-equivalent, measured on this machine's CPU by
+# bench_reference.py (2026-08-17): forward 20209 steps/s, fwd+bwd 11010.
+BASELINE_FWD_TIMESTEPS_PER_S = 20209.0
+
+
+def bench_dense_gcm(B=32, obs=8, hidden=32, N=128, T=128):
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    model = readme_dense_gcm(obs_size=obs, hidden=hidden, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, obs))
+
+    fwd = jax.jit(lambda p, x: model.scan(p, x, model.initial_state(B, obs)))
+
+    def loss(p, x):
+        outs, _ = model.scan(p, x, model.initial_state(B, obs))
+        return jnp.mean(outs ** 2)
+
+    bwd = jax.jit(jax.grad(loss))
+
+    outs, _ = fwd(params, xs)
+    jax.block_until_ready(outs)
+    best_f = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs, _ = fwd(params, xs)
+        jax.block_until_ready(outs)
+        best_f = min(best_f, time.perf_counter() - t0)
+
+    g = bwd(params, xs)
+    jax.block_until_ready(g)
+    best_b = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        g = bwd(params, xs)
+        jax.block_until_ready(g)
+        best_b = min(best_b, time.perf_counter() - t0)
+
+    return B * T / best_f, B * T / best_b
+
+
+def bench_spmm(B=64, N=512, E=8192, F=128, iters=20):
+    from gcm_tpu.ops.scatter import edge_scatter_add
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, N, F))
+    sink = jax.random.randint(jax.random.PRNGKey(1), (B, E), 0, N)
+    src = jax.random.randint(jax.random.PRNGKey(2), (B, E), 0, N)
+    edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+    w = jnp.ones((B, E))
+    f = jax.jit(lambda x, e, w: edge_scatter_add(x, e, w))
+    out = f(x, edges, w)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(x, edges, w)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return B * E / dt
+
+
+def main():
+    fwd, fwd_bwd = bench_dense_gcm()
+    spmm = bench_spmm()
+    print(json.dumps({
+        "metric": "gcm_timesteps_per_s",
+        "value": round(fwd),
+        "unit": "timesteps/s",
+        "vs_baseline": round(fwd / BASELINE_FWD_TIMESTEPS_PER_S, 3),
+        "fwd_bwd_timesteps_per_s": round(fwd_bwd),
+        "spmm_edges_per_s": round(spmm),
+        "backend": jax.default_backend(),
+        "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
+    }))
+
+
+if __name__ == "__main__":
+    main()
