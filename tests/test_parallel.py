@@ -1,0 +1,139 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed support; these pin the new build's DP/TP
+design (SURVEY.md §2 N6): sharded execution must be numerically identical to
+single-device execution, and the full training step must compile and run
+under real dp/tp shardings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gcm_tpu.models.presets import readme_dense_gcm, readme_sparse_gcm
+from gcm_tpu.parallel.mesh import batch_sharding, make_mesh
+from gcm_tpu.parallel.sharding import param_specs, state_specs, to_named
+from gcm_tpu.train.train_step import (
+    make_dense_supervised_step,
+    make_sparse_supervised_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(dp=4, tp=2)
+        assert mesh.shape == {"dp": 4, "tp": 2}
+        mesh = make_mesh(tp=1)
+        assert mesh.shape["dp"] == 8
+
+
+class TestDPParity:
+    def test_dense_scan_dp_matches_single_device(self):
+        B, T, obs = 8, 6, 8
+        model = readme_dense_gcm(obs_size=obs, hidden=16, graph_size=16)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, obs))
+
+        outs_single, _ = model.scan(params, xs, model.initial_state(B, obs))
+
+        mesh = make_mesh(dp=8, tp=1)
+        xs_sharded = jax.device_put(xs, batch_sharding(mesh, 3))
+        st = model.initial_state(B, obs)
+        st_sharded = jax.tree_util.tree_map(
+            jax.device_put, st, to_named(mesh, state_specs(st))
+        )
+        f = jax.jit(lambda p, x, s: model.scan(p, x, s))
+        outs_dp, _ = f(params, xs_sharded, st_sharded)
+        assert np.allclose(np.array(outs_single), np.array(outs_dp), atol=1e-5)
+
+    def test_sparse_dp_matches_single_device(self):
+        B, T, obs = 8, 5, 8
+        model = readme_sparse_gcm(obs_size=obs, hidden=16, graph_size=16,
+                                  max_edges=64)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, obs))
+        taus = jnp.full((B,), T, jnp.int32)
+
+        outs_single, _ = model(params, xs, taus, model.initial_state(B, obs))
+
+        mesh = make_mesh(dp=8, tp=1)
+        xs_s = jax.device_put(xs, batch_sharding(mesh, 3))
+        taus_s = jax.device_put(taus, batch_sharding(mesh, 1))
+        st = model.initial_state(B, obs)
+        st_s = jax.tree_util.tree_map(
+            jax.device_put, st, to_named(mesh, state_specs(st))
+        )
+        outs_dp, _ = jax.jit(lambda p, x, t, s: model(p, x, t, s))(
+            params, xs_s, taus_s, st_s
+        )
+        assert np.allclose(np.array(outs_single), np.array(outs_dp), atol=1e-5)
+
+
+class TestTPParity:
+    def test_dense_train_step_dp_tp(self):
+        """Full train step under dp=4 × tp=2 matches the unsharded step."""
+        B, T, obs, hidden = 8, 4, 8, 16
+        model = readme_dense_gcm(obs_size=obs, hidden=hidden, graph_size=12)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = make_dense_supervised_step(model, opt)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, obs))
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (B, T, hidden))
+
+        p_ref, _, loss_ref = step(params, opt_state, xs, tgt)
+
+        mesh = make_mesh(dp=4, tp=2)
+        p_shard = to_named(mesh, param_specs(params))
+        params_s = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        data_shard = NamedSharding(mesh, P("dp", None, None))
+        xs_s = jax.device_put(xs, data_shard)
+        tgt_s = jax.device_put(tgt, data_shard)
+        jit_step = jax.jit(step)
+        p_out, _, loss_out = jit_step(params_s, opt_state, xs_s, tgt_s)
+
+        assert np.allclose(float(loss_ref), float(loss_out), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_out)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-4)
+
+    def test_sparse_train_step_dp(self):
+        B, T, obs, hidden = 8, 4, 8, 16
+        model = readme_sparse_gcm(obs_size=obs, hidden=hidden, graph_size=12,
+                                  max_edges=64)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = make_sparse_supervised_step(model, opt)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, obs))
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (B, T, hidden))
+        taus = jnp.full((B,), T, jnp.int32)
+
+        _, _, loss_ref = step(params, opt_state, xs, tgt, taus)
+
+        mesh = make_mesh(dp=8, tp=1)
+        data_shard = NamedSharding(mesh, P("dp", None, None))
+        xs_s = jax.device_put(xs, data_shard)
+        _, _, loss_out = jax.jit(step)(params, opt_state, xs_s, tgt, taus)
+        assert np.allclose(float(loss_ref), float(loss_out), atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out, state = jax.jit(fn)(*args)
+        assert out.shape == (32, 32)
+        assert np.isfinite(np.array(out)).all()
