@@ -1,0 +1,118 @@
+"""Minimal A2C trainer over GCM actor-critic policies, fully jitted.
+
+Replicates the capability exercised by the reference's rllib integration
+test (tune.run("A2C", ...), tests/test_ray_gcm.py:29-46) without Ray: rollout
+collection under the recurrent memory policy (lax.scan over env+policy),
+discounted returns, advantage actor-critic loss with entropy bonus, adam.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def discounted_returns(rewards, dones, gamma):
+    """rewards, dones: [B, T] -> returns [B, T] (resets at dones)."""
+
+    def scan_fn(carry, rd):
+        r, d = rd
+        carry = r + gamma * carry * (1.0 - d)
+        return carry, carry
+
+    rT = jnp.swapaxes(rewards, 0, 1)[::-1]
+    dT = jnp.swapaxes(dones.astype(rewards.dtype), 0, 1)[::-1]
+    _, rets = jax.lax.scan(scan_fn, jnp.zeros(rewards.shape[0]), (rT, dT))
+    return jnp.swapaxes(rets[::-1], 0, 1)
+
+
+class A2C:
+    def __init__(self, env, policy, gamma: float = 0.99, lr: float = 3e-3,
+                 value_coef: float = 0.5, entropy_coef: float = 0.01,
+                 rollout_len: int | None = None):
+        self.env = env
+        self.policy = policy
+        self.gamma = gamma
+        self.value_coef = value_coef
+        self.entropy_coef = entropy_coef
+        self.rollout_len = rollout_len or env.horizon
+        self.opt = optax.adam(lr)
+
+    def init(self, key):
+        params = self.policy.init(key)
+        return params, self.opt.init(params)
+
+    # -- rollout (no grads) -------------------------------------------------
+    def collect(self, params, key, B: int):
+        """Roll the policy for rollout_len steps. Returns trajectory dict."""
+        k_reset, k_run = jax.random.split(key)
+        obs, env_state = self.env.reset(k_reset, B)
+        mem = self.policy.initial_state(B)
+
+        def step(carry, k):
+            obs, env_state, mem, prev_a = carry
+            logits, value, mem = self.policy.step(params, obs, mem,
+                                                  prev_action=prev_a)
+            ka, ke = jax.random.split(k)
+            action = jax.random.categorical(ka, logits)
+            nobs, reward, done, env_state = self.env.step(env_state, action, ke)
+            out = (obs, action, reward, done, prev_a)
+            return (nobs, env_state, mem, action), out
+
+        keys = jax.random.split(k_run, self.rollout_len)
+        _, (obs_seq, actions, rewards, dones, prev_as) = jax.lax.scan(
+            step, (obs, env_state, mem, jnp.zeros((B,), jnp.int32)), keys
+        )
+        to_bt = lambda x: jnp.swapaxes(x, 0, 1)
+        return {
+            "obs": to_bt(obs_seq),
+            "actions": to_bt(actions),
+            "rewards": to_bt(rewards),
+            "dones": to_bt(dones),
+            "prev_actions": to_bt(prev_as),
+        }
+
+    # -- update -------------------------------------------------------------
+    def loss(self, params, traj):
+        B = traj["obs"].shape[0]
+        mem = self.policy.initial_state(B)
+        logits, values, _ = self.policy(params, traj["obs"], mem,
+                                        prev_actions=traj["prev_actions"])
+        returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
+        adv = jax.lax.stop_gradient(returns - values)
+        logp = jax.nn.log_softmax(logits)
+        act_logp = jnp.take_along_axis(
+            logp, traj["actions"][..., None], axis=-1
+        )[..., 0]
+        pg_loss = -jnp.mean(act_logp * adv)
+        v_loss = jnp.mean((returns - values) ** 2)
+        entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
+        total = pg_loss + self.value_coef * v_loss - self.entropy_coef * entropy
+        return total, {"pg": pg_loss, "v": v_loss, "entropy": entropy,
+                       "return": jnp.mean(jnp.sum(traj["rewards"], axis=1))}
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def update(self, params, opt_state, key, B: int):
+        traj = self.collect(params, key, B)
+        (l, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            params, traj
+        )
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = l
+        return params, opt_state, metrics
+
+    def train(self, key, updates: int, B: int = 16, log_every: int = 0):
+        params, opt_state = self.init(key)
+        history = []
+        for i in range(updates):
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = self.update(params, opt_state, sub, B)
+            history.append(float(metrics["return"]))
+            if log_every and i % log_every == 0:
+                print(f"update {i}: return={history[-1]:.3f} "
+                      f"loss={float(metrics['loss']):.3f}")
+        return params, history

@@ -1,0 +1,214 @@
+"""RL policy wrappers — the adapter layer over the memory cores.
+
+TPU-native equivalent of RayDenseGCM / RaySparseGCM (reference
+src/gcm/ray_gcm.py:21-212, src/gcm/ray_sparse_gcm.py:19-213): a config-dict
+driven actor-critic wrapper with obs preprocessor, optional prev-action
+one-hot concat, the GCM memory core, and logit/value heads (normc 0.01 init,
+matching rllib's SlimFC defaults). The reference's per-timestep Python loop
+(ray_gcm.py:200-202) is the scanned recurrence; state crosses the trainer
+boundary as fixed-shape pytrees (the packed edge-list form is native here, so
+no pack/unpack is needed — but utils.packing provides the codec for external
+frameworks).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.models.dense_gcm import DenseGCM
+from gcm_tpu.models.positional import PositionalEncoding
+from gcm_tpu.models.sparse_gcm import SparseGCM
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import Linear, MLP
+from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+# reference ray_gcm.py:22-79 — the de-facto config system, key-validated
+DENSE_DEFAULT_CONFIG = {
+    "graph_size": 32,
+    "gnn_input_size": 64,
+    "gnn_output_size": 64,
+    "gnn": None,  # built from sizes when None (2-layer conv + tanh)
+    "edge_selectors": None,
+    "aux_edge_selectors": None,
+    "pooled": False,
+    "edge_weights": False,
+    "preprocessor": None,
+    "preprocessor_frozen": False,
+    "use_prev_action": False,
+    "positional_encoding": None,  # None | 'add' | 'cat'
+    "positional_encoding_dim": 4,
+}
+
+SPARSE_DEFAULT_CONFIG = {
+    **DENSE_DEFAULT_CONFIG,
+    "max_edges": 512,
+    "max_hops": None,
+}
+
+
+class _FrozenMLP:
+    """Wraps a module so its params get stop_gradient on apply
+    (preprocessor_frozen, ray_gcm.py:127-130)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def __call__(self, params, x):
+        frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+        return self.inner(frozen, x)
+
+
+def _build_preprocessor(input_dim, cfg):
+    pp = Linear(input_dim, cfg["gnn_input_size"])
+    user = cfg["preprocessor"]
+    if user is None:
+        return MLP([pp])
+    if cfg["preprocessor_frozen"]:
+        user = _FrozenMLP(user)
+    return MLP([pp, user])
+
+
+class GCMActorCritic:
+    """Dense-core actor-critic (reference RayDenseGCM)."""
+
+    CONFIG = DENSE_DEFAULT_CONFIG
+
+    def __init__(self, obs_dim: int, num_actions: int, num_outputs: int,
+                 **cfg):
+        for k in cfg:
+            assert k in self.CONFIG, f"Invalid config key {k}"
+        self.cfg = dict(self.CONFIG, **cfg)
+        self.obs_dim = obs_dim
+        self.num_actions = num_actions
+        self.num_outputs = num_outputs
+        self.input_dim = obs_dim + (num_actions if self.cfg["use_prev_action"]
+                                    else 0)
+        self.core = self._build_core()
+        h = self.cfg["gnn_output_size"]
+        self.logit_branch = Linear(h, num_outputs, init=("normc", 0.01))
+        self.value_branch = Linear(h, 1, init=("normc", 0.01))
+
+    def _gnn(self):
+        if self.cfg["gnn"] is not None:
+            return self.cfg["gnn"]
+        gi, go = self.cfg["gnn_input_size"], self.cfg["gnn_output_size"]
+        return DenseGNN([DenseGraphConv(gi, go), jnp.tanh,
+                         DenseGraphConv(go, go), jnp.tanh],
+                        use_weights=self.cfg["edge_weights"])
+
+    def _build_core(self):
+        pe = None
+        if self.cfg["positional_encoding"]:
+            pe = PositionalEncoding(
+                max_len=self.cfg["graph_size"],
+                mode=self.cfg["positional_encoding"],
+                cat_dim=self.cfg["positional_encoding_dim"],
+                feat_dim=self.cfg["gnn_input_size"],
+            )
+        return DenseGCM(
+            gnn=self._gnn(),
+            preprocessor=_build_preprocessor(self.input_dim, self.cfg),
+            edge_selectors=self.cfg["edge_selectors"],
+            aux_edge_selectors=self.cfg["aux_edge_selectors"],
+            graph_size=self.cfg["graph_size"],
+            pooled=self.cfg["pooled"],
+            positional_encoder=pe,
+            edge_weights=self.cfg["edge_weights"],
+        )
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "core": self.core.init(k1),
+            "logit": self.logit_branch.init(k2),
+            "value": self.value_branch.init(k3),
+        }
+
+    def initial_state(self, B: int, dtype=jnp.float32):
+        return self.core.initial_state(B, self.input_dim, dtype=dtype)
+
+    def _concat_prev_action(self, obs, prev_actions):
+        if not self.cfg["use_prev_action"]:
+            return obs
+        onehot = jax.nn.one_hot(prev_actions, self.num_actions, dtype=obs.dtype)
+        return jnp.concatenate([obs, onehot], axis=-1)
+
+    def step(self, params, obs, state, prev_action=None, key=None):
+        """One timestep: obs [B, obs_dim] -> (logits [B, A], value [B], state)."""
+        x = self._concat_prev_action(
+            obs, prev_action if prev_action is not None
+            else jnp.zeros(obs.shape[:1], jnp.int32))
+        belief, state = self.core(params["core"], x, state, key=key)
+        logits = self.logit_branch(params["logit"], belief)
+        value = self.value_branch(params["value"], belief)[..., 0]
+        return logits, value, state
+
+    def __call__(self, params, obs_seq, state, prev_actions=None, key=None):
+        """Whole trajectory: obs_seq [B, T, obs_dim] ->
+        (logits [B, T, A], values [B, T], state)."""
+        B, T, _ = obs_seq.shape
+        x = self._concat_prev_action(
+            obs_seq, prev_actions if prev_actions is not None
+            else jnp.zeros((B, T), jnp.int32))
+        beliefs, state = self.core.scan(params["core"], x, state, key=key)
+        logits = self.logit_branch(params["logit"], beliefs)
+        values = self.value_branch(params["value"], beliefs)[..., 0]
+        return logits, values, state
+
+
+class SparseGCMActorCritic(GCMActorCritic):
+    """Sparse-core actor-critic (reference RaySparseGCM): the whole window is
+    processed in ONE time-batched SparseGCM call (ray_sparse_gcm.py:201-213),
+    no per-step loop."""
+
+    CONFIG = SPARSE_DEFAULT_CONFIG
+
+    def _gnn(self):
+        if self.cfg["gnn"] is not None:
+            return self.cfg["gnn"]
+        gi, go = self.cfg["gnn_input_size"], self.cfg["gnn_output_size"]
+        return SparseGNN([GraphConv(gi, go), jnp.tanh,
+                          GraphConv(go, go), jnp.tanh])
+
+    def _build_core(self):
+        pe = None
+        if self.cfg["positional_encoding"]:
+            pe = PositionalEncoding(
+                max_len=self.cfg["graph_size"],
+                mode=self.cfg["positional_encoding"],
+                cat_dim=self.cfg["positional_encoding_dim"],
+                feat_dim=self.cfg["gnn_input_size"],
+            )
+        return SparseGCM(
+            gnn=self._gnn(),
+            preprocessor=_build_preprocessor(self.input_dim, self.cfg),
+            edge_selectors=self.cfg["edge_selectors"],
+            aux_edge_selectors=self.cfg["aux_edge_selectors"],
+            graph_size=self.cfg["graph_size"],
+            max_edges=self.cfg["max_edges"],
+            max_hops=self.cfg["max_hops"],
+            positional_encoder=pe,
+        )
+
+    def step(self, params, obs, state, prev_action=None, key=None):
+        logits, values, state = self.__call__(
+            params, obs[:, None, :], state,
+            None if prev_action is None else prev_action[:, None], key=key)
+        return logits[:, 0], values[:, 0], state
+
+    def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
+                 taus=None):
+        B, T, _ = obs_seq.shape
+        x = self._concat_prev_action(
+            obs_seq, prev_actions if prev_actions is not None
+            else jnp.zeros((B, T), jnp.int32))
+        if taus is None:
+            taus = jnp.full((B,), T, jnp.int32)
+        beliefs, state = self.core(params["core"], x, taus, state, key=key)
+        logits = self.logit_branch(params["logit"], beliefs)
+        values = self.value_branch(params["value"], beliefs)[..., 0]
+        return logits, values, state

@@ -1,0 +1,124 @@
+"""RL adapter + trainer tests.
+
+Mirrors the reference's integration capability (tests/test_ray_gcm.py: A2C
+trains through the GCM memory) without Ray: config validation, prev-action
+concat, step-vs-scan consistency, and A2C learning the memory task above the
+memoryless ceiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.rl.a2c import A2C, discounted_returns
+from gcm_tpu.rl.env import RecallEnv
+from gcm_tpu.rl.wrappers import GCMActorCritic, SparseGCMActorCritic
+
+
+def make_policy(env, sparse=False, **over):
+    cls = SparseGCMActorCritic if sparse else GCMActorCritic
+    cfg = dict(
+        graph_size=env.horizon + 1,
+        gnn_input_size=16,
+        gnn_output_size=16,
+        use_prev_action=True,
+    )
+    if not sparse:
+        cfg["edge_selectors"] = TemporalBackedge([1])
+    cfg.update(over)
+    return cls(env.obs_dim, env.num_actions, env.num_actions, **cfg)
+
+
+class TestWrapper:
+    def test_invalid_config_key_raises(self):
+        env = RecallEnv()
+        with pytest.raises(AssertionError):
+            make_policy(env, bogus_key=1)
+
+    def test_shapes_and_state(self):
+        env = RecallEnv()
+        pol = make_policy(env)
+        params = pol.init(jax.random.PRNGKey(0))
+        B, T = 3, env.horizon
+        obs = jnp.ones((B, T, env.obs_dim))
+        logits, values, state = pol(params, obs, pol.initial_state(B))
+        assert logits.shape == (B, T, env.num_actions)
+        assert values.shape == (B, T)
+        assert np.array(state.num_nodes).tolist() == [T] * B
+
+    def test_step_matches_scan(self):
+        env = RecallEnv()
+        pol = make_policy(env)
+        params = pol.init(jax.random.PRNGKey(0))
+        B, T = 2, 5
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        prev = jnp.zeros((B, T), jnp.int32)
+        logits_scan, values_scan, _ = pol(params, obs, pol.initial_state(B),
+                                          prev_actions=prev)
+        state = pol.initial_state(B)
+        for t in range(T):
+            lg, v, state = pol.step(params, obs[:, t], state,
+                                    prev_action=prev[:, t])
+            assert np.allclose(np.array(lg), np.array(logits_scan[:, t]),
+                               atol=1e-5)
+            assert np.allclose(np.array(v), np.array(values_scan[:, t]),
+                               atol=1e-5)
+
+    def test_sparse_wrapper_matches_dense_semantics(self):
+        """Sparse adapter processes the window in one call; with temporal
+        edges both adapters share param structure and outputs."""
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+
+        env = RecallEnv()
+        dense = make_policy(env)
+        sparse = make_policy(env, sparse=True,
+                             edge_selectors=TemporalEdge([1]), max_edges=64)
+        params = dense.init(jax.random.PRNGKey(0))
+        B, T = 2, 6
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        ld, vd, _ = dense(params, obs, dense.initial_state(B))
+        ls, vs, _ = sparse(params, obs, sparse.initial_state(B))
+        assert np.allclose(np.array(ld), np.array(ls), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vs), atol=1e-5)
+
+    def test_prev_action_concat(self):
+        env = RecallEnv()
+        pol = make_policy(env)
+        params = pol.init(jax.random.PRNGKey(0))
+        B = 2
+        obs = jnp.ones((B, env.obs_dim))
+        st = pol.initial_state(B)
+        l0, _, _ = pol.step(params, obs, st,
+                            prev_action=jnp.zeros((B,), jnp.int32))
+        l1, _, _ = pol.step(params, obs, st,
+                            prev_action=jnp.ones((B,), jnp.int32))
+        assert not np.allclose(np.array(l0), np.array(l1))
+
+
+class TestA2C:
+    def test_discounted_returns(self):
+        r = jnp.array([[1.0, 0.0, 1.0]])
+        d = jnp.array([[False, False, True]])
+        rets = discounted_returns(r, d, 0.5)
+        assert np.allclose(np.array(rets[0]), [1 + 0.25, 0.5, 1.0])
+
+    def test_returns_reset_at_done(self):
+        r = jnp.array([[0.0, 1.0, 0.0, 1.0]])
+        d = jnp.array([[False, True, False, True]])
+        rets = discounted_returns(r, d, 0.9)
+        assert np.allclose(np.array(rets[0]), [0.9, 1.0, 0.9, 1.0])
+
+    def test_a2c_learns_memory_task(self):
+        """The GCM policy must beat the memoryless ceiling (1/num_symbols)
+        on the recall task — proof the graph memory carries information
+        across the episode (analog of tests/test_ray_gcm.py:29-46)."""
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+        pol = make_policy(env, gnn_input_size=16, gnn_output_size=16)
+        trainer = A2C(env, pol, lr=8e-3, entropy_coef=0.003)
+        _, history = trainer.train(jax.random.PRNGKey(0), updates=150, B=32)
+        early = np.mean(history[:10])
+        late = np.mean(history[-10:])
+        # expected return for random policy: 1/2 per episode
+        assert late > max(0.62, early + 0.05), (
+            f"did not learn: early={early:.3f} late={late:.3f}")
