@@ -22,7 +22,7 @@ def sincos_table(max_len: int, feat_dim: int, dtype=jnp.float32) -> jax.Array:
     """Transformer sin/cos table [max_len, d_model] with d_model = feat_dim
     rounded up to even (reference gcm.py:103-118)."""
     d_model = int(math.ceil(feat_dim / 2) * 2)
-    position = jnp.arange(max_len, dtype)[:, None]
+    position = jnp.arange(max_len, dtype=dtype)[:, None]
     div_term = jnp.exp(
         jnp.arange(0, d_model, 2, dtype) * (-math.log(10000.0) / d_model)
     )
