@@ -64,8 +64,10 @@ def bench_dense_gcm(B=32, obs=8, hidden=32, N=128, T=128):
     return B * T / best_f, B * T / best_b
 
 
-def bench_spmm(B=64, N=512, E=8192, F=128, iters=20):
-    from gcm_tpu.ops.scatter import edge_scatter_add
+def bench_spmm(B=64, N=512, E=8192, F=128, iters=50):
+    """Chained iterations (output feeds input) so device execution is
+    serialized — unchained async dispatch overlaps and inflates the number."""
+    from gcm_tpu.ops.dispatch import spmm
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, N, F))
@@ -73,12 +75,17 @@ def bench_spmm(B=64, N=512, E=8192, F=128, iters=20):
     src = jax.random.randint(jax.random.PRNGKey(2), (B, E), 0, N)
     edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
     w = jnp.ones((B, E))
-    f = jax.jit(lambda x, e, w: edge_scatter_add(x, e, w))
-    out = f(x, edges, w)
+
+    @jax.jit
+    def chain(x, e, w):
+        def body(x, _):
+            return spmm(x, e, w) * 1e-3, None
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
+    out = chain(x, edges, w)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(x, edges, w)
+    out = chain(x, edges, w)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return B * E / dt

@@ -43,12 +43,25 @@ class DenseGraphConv:
 
     def __call__(self, params, x, adj, mask=None):
         if self.aggr == "add":
-            agg = jnp.einsum("bij,bjf->bif", adj, x)
-        elif self.aggr == "mean":
+            # differentiable backend-dispatched op (fused Pallas kernel on
+            # TPU, XLA einsum elsewhere)
+            from gcm_tpu.ops.dispatch import dense_graph_conv
+
+            b_rel = params["lin_rel"].get(
+                "bias", jnp.zeros((self.out_dim,), x.dtype)
+            )
+            out = dense_graph_conv(
+                x, adj.astype(x.dtype), params["lin_rel"]["kernel"], b_rel,
+                params["lin_root"]["kernel"],
+            )
+            if mask is not None:
+                out = out * mask[..., None].astype(out.dtype)
+            return out
+        if self.aggr == "mean":
             agg = jnp.einsum("bij,bjf->bif", adj, x)
             deg = jnp.sum(adj, axis=-1, keepdims=True)
             agg = agg / jnp.maximum(deg, 1.0)
-        else:  # max
+        else:  # max aggregation
             neg = jnp.finfo(x.dtype).min
             msgs = jnp.where((adj != 0)[..., None], x[:, None, :, :], neg)
             agg = jnp.max(msgs, axis=2)

@@ -47,11 +47,15 @@ class GraphConv:
                 "lin_root": self.lin_root.init(k2)}
 
     def __call__(self, params, x, edges, weights=None):
+        from gcm_tpu.ops.dispatch import spmm
+
         N = x.shape[1]
         if self.aggr == "max":
             agg = edge_scatter_max(x, edges, num_nodes=N)
         else:
-            agg = edge_scatter_add(x, edges, weights, num_nodes=N)
+            if weights is None:
+                weights = edge_mask(edges).astype(x.dtype)
+            agg = spmm(x, edges, weights)
             if self.aggr == "mean":
                 deg = edge_scatter_count(edges, N)
                 agg = agg / jnp.maximum(deg, 1.0)[..., None]
@@ -105,7 +109,9 @@ class GCNConv:
         b = jnp.arange(B)[:, None]
         norm_w = dis[b, sink] * weights * dis[b, src]
         xw = self.lin(params["lin"], x)
-        out = edge_scatter_add(xw, edges, norm_w, num_nodes=N)
+        from gcm_tpu.ops.dispatch import spmm
+
+        out = spmm(xw, edges, norm_w)
         if self.add_self_loops:
             self_norm = dis * fill * dis  # d_i^-1/2 * fill * d_i^-1/2
             out = out + xw * (self_norm * node_mask.astype(xw.dtype))[..., None]
