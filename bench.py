@@ -84,16 +84,21 @@ def bench_spmm(B=64, N=512, E=8192, F=128, iters=50):
 
     out = chain(x, edges, w)
     jax.block_until_ready(out)
+    # time with different inputs than the warmup — identical re-executions
+    # can be served from a tunnel-side cache and report impossible numbers
+    x2 = x + 1.0
     t0 = time.perf_counter()
-    out = chain(x, edges, w)
+    out = chain(x2, edges, w)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return B * E / dt
 
 
 def main():
-    fwd, fwd_bwd = bench_dense_gcm()
+    # spmm first: measured in a fresh backend state (later measurements in
+    # the same process have shown tunnel-side contamination)
     spmm = bench_spmm()
+    fwd, fwd_bwd = bench_dense_gcm()
     print(json.dumps({
         "metric": "gcm_timesteps_per_s",
         "value": round(fwd),

@@ -126,9 +126,37 @@ class DenseGNN:
     before convolution (for learned/bernoulli edges, gcm.py:179-181).
     """
 
-    def __init__(self, layers, use_weights: bool = False):
+    def __init__(self, layers, use_weights: bool = False, fuse: str = "auto"):
         self.layers = layers
         self.use_weights = use_weights
+        self.fuse = fuse
+        self._fused_plan = self._plan_fusion() if fuse else None
+
+    def _plan_fusion(self):
+        """Detect the fusable pattern (DenseGraphConv('add') each optionally
+        followed by one tanh/relu) for the whole-GNN Pallas kernel."""
+        acts = []
+        conv_idx = []
+        i = 0
+        while i < len(self.layers):
+            layer = self.layers[i]
+            if not (isinstance(layer, DenseGraphConv) and layer.aggr == "add"):
+                return None
+            conv_idx.append(i)
+            act = None
+            if i + 1 < len(self.layers) and not hasattr(self.layers[i + 1],
+                                                        "init"):
+                fn = self.layers[i + 1]
+                if fn is jnp.tanh:
+                    act = "tanh"
+                elif fn is jax.nn.relu:
+                    act = "relu"
+                else:
+                    return None
+                i += 1
+            acts.append(act)
+            i += 1
+        return (tuple(conv_idx), tuple(acts)) if conv_idx else None
 
     def init(self, key):
         params = []
@@ -143,6 +171,18 @@ class DenseGNN:
     def __call__(self, params, x, adj, weights=None):
         if self.use_weights and weights is not None and weights.size > 0:
             adj = adj * weights
+        if self._fused_plan is not None:
+            from gcm_tpu.ops.pallas.fused_gnn import fused_dense_gnn
+
+            conv_idx, acts = self._fused_plan
+            flat = []
+            for i, ci in enumerate(conv_idx):
+                p = params[ci]
+                conv = self.layers[ci]
+                b = p["lin_rel"].get(
+                    "bias", jnp.zeros((conv.out_dim,), x.dtype))
+                flat += [p["lin_rel"]["kernel"], b, p["lin_root"]["kernel"]]
+            return fused_dense_gnn(x, adj.astype(x.dtype), tuple(flat), acts)
         for layer, p in zip(self.layers, params):
             if hasattr(layer, "init"):
                 x = layer(p, x, adj)
