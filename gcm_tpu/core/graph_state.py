@@ -107,6 +107,27 @@ def dense_insert(state: DenseGraphState, x: jax.Array) -> DenseGraphState:
     return DenseGraphState(nodes, adj, weights, num_nodes)
 
 
+def reset_where(state, done: jax.Array):
+    """Zero the memory of batch elements where `done[b]` is True — the
+    episode-boundary reset an RL trainer applies mid-rollout. Works for any
+    graph-state NamedTuple whose arrays are batch-leading; sparse edge
+    sentinels are restored to -1 and weights to 1.0."""
+    import jax.numpy as jnp
+
+    def reset_leaf(name, arr):
+        if arr.ndim == 0 or arr.shape[0] != done.shape[0]:
+            return arr
+        mask = done.reshape((-1,) + (1,) * (arr.ndim - 1))
+        if name == "edges":
+            return jnp.where(mask, -1, arr)
+        if name == "weights" and arr.ndim == 2:  # sparse weight lanes
+            return jnp.where(mask, jnp.ones_like(arr), arr)
+        return jnp.where(mask, jnp.zeros_like(arr), arr)
+
+    return type(state)(*(reset_leaf(name, arr)
+                         for name, arr in zip(state._fields, state)))
+
+
 def node_validity_mask(num_nodes: jax.Array, N: int,
                        inclusive: bool = False) -> jax.Array:
     """[B, N] mask of rows < num_nodes (or <= when inclusive)."""

@@ -60,7 +60,12 @@ class A2C:
             action = jax.random.categorical(ka, logits)
             nobs, reward, done, env_state = self.env.step(env_state, action, ke)
             out = (obs, action, reward, done, prev_a)
-            return (nobs, env_state, mem, action), out
+            # episode boundary: wipe the graph memory of finished episodes
+            from gcm_tpu.core.graph_state import reset_where
+
+            mem = reset_where(mem, done)
+            next_prev = jnp.where(done, 0, action)
+            return (nobs, env_state, mem, next_prev), out
 
         keys = jax.random.split(k_run, self.rollout_len)
         _, (obs_seq, actions, rewards, dones, prev_as) = jax.lax.scan(

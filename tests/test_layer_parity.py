@@ -1,0 +1,95 @@
+"""Cross-representation layer parity: sparse convs on an edge list must match
+dense convs on the equivalent adjacency (the layer-zoo analog of the model
+parity suite), plus state reset and bf16 smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.core.graph_state import reset_where
+from gcm_tpu.models.converters import dense_to_sparse
+from gcm_tpu.models.presets import readme_dense_gcm, readme_sparse_gcm
+from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGraphConv
+from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv
+
+
+def random_graph(B=3, N=10, F=6, p=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    adj = jnp.asarray((rng.random((B, N, N)) < p).astype(np.float32))
+    edges, w = dense_to_sparse(adj)
+    return x, adj, edges, w
+
+
+class TestGraphConvParity:
+    def test_sparse_matches_dense(self):
+        B, N, F = 3, 10, 6
+        x, adj, edges, w = random_graph(B, N, F)
+        dense = DenseGraphConv(F, F)
+        sparse = GraphConv(F, F)
+        params = dense.init(jax.random.PRNGKey(0))
+        out_d = dense(params, x, adj)
+        out_s = sparse(params, x, edges, w)
+        assert np.allclose(np.array(out_d), np.array(out_s), atol=1e-4)
+
+
+class TestGCNConvParity:
+    def test_sparse_matches_dense(self):
+        """Dense GCNConv *sets* the diagonal to 1; for a graph with no
+        pre-existing self loops that equals sparse GCNConv's add_self_loops."""
+        B, N, F = 2, 8, 5
+        x, adj, edges, w = random_graph(B, N, F, seed=1)
+        eye = jnp.eye(N, dtype=bool)
+        adj = jnp.where(eye[None], 0.0, adj)  # drop self loops
+        edges, w = dense_to_sparse(adj)
+        dense = DenseGCNConv(F, F)
+        sparse = GCNConv(F, F)
+        params = dense.init(jax.random.PRNGKey(0))
+        out_d = dense(params, x, adj)
+        out_s = sparse(params, x, edges, w)
+        assert np.allclose(np.array(out_d), np.array(out_s), atol=1e-4)
+
+
+class TestStateReset:
+    def test_dense_reset(self):
+        model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=6)
+        params = model.init(jax.random.PRNGKey(0))
+        B = 3
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4))
+        _, state = model.scan(params, xs, model.initial_state(B, 4))
+        done = jnp.array([True, False, True])
+        reset = reset_where(state, done)
+        assert np.allclose(np.array(reset.nodes[0]), 0.0)
+        assert np.allclose(np.array(reset.nodes[1]), np.array(state.nodes[1]))
+        assert np.array(reset.num_nodes).tolist() == [0, 4, 0]
+        assert np.allclose(np.array(reset.adj[0]), 0.0)
+
+    def test_sparse_reset(self):
+        model = readme_sparse_gcm(obs_size=4, hidden=8, graph_size=8,
+                                  max_edges=16)
+        params = model.init(jax.random.PRNGKey(0))
+        B = 2
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4))
+        taus = jnp.full((B,), 4, jnp.int32)
+        _, state = model(params, xs, taus, model.initial_state(B, 4))
+        done = jnp.array([True, False])
+        reset = reset_where(state, done)
+        assert (np.array(reset.edges[0]) == -1).all()
+        assert np.allclose(np.array(reset.weights[0]), 1.0)
+        assert np.array(reset.t).tolist() == [0, 4]
+        assert np.array(reset.num_edges).tolist() == [0, int(state.num_edges[1])]
+        # resumed batch keeps its edges
+        assert np.array_equal(np.array(reset.edges[1]), np.array(state.edges[1]))
+
+
+class TestBF16:
+    def test_dense_bf16_runs_finite(self):
+        model = readme_dense_gcm(obs_size=8, hidden=16, graph_size=16,
+                                 dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0))
+        B = 2
+        state = model.initial_state(B, 8, dtype=jnp.bfloat16)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, 6, 8), jnp.bfloat16)
+        outs, state = model.scan(params, xs, state)
+        assert outs.dtype == jnp.bfloat16
+        assert np.isfinite(np.array(outs, np.float32)).all()
