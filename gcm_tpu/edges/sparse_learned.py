@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from gcm_tpu.edges.learned import default_edge_network
-from gcm_tpu.nn.module import MLP
+from gcm_tpu.nn.module import MLP, Linear
 from gcm_tpu.utils.ste import masked_gumbel_softmax, masked_tempered_softmax
 
 
@@ -57,6 +57,41 @@ class LearnedEdge:
             params["tau"] = jnp.asarray([self.softmax_temp], jnp.float32)
         return params
 
+    def _score_pairs(self, net_params, sink_feats, nodes):
+        """Pair logits [B, t, N] for (sink ‖ source) inputs.
+
+        When the scorer is the canonical MLP whose first layer is
+        Linear(2F, H), that layer factors: W = [W_sink; W_src], so
+        Linear(cat(s, r)) = s@W_sink + r@W_src + b — computed once per sink
+        and once per source and broadcast-added, turning the widest matmul
+        from O(t·N·F²) into O((t+N)·F²) (the SDDMM-style decomposition of
+        SURVEY.md N3). Any other scorer falls back to the dense pair grid.
+        """
+        B, t, F = sink_feats.shape
+        N = nodes.shape[1]
+        net = self.edge_network
+        first = net.layers[0] if isinstance(net, MLP) and net.layers else None
+        if isinstance(first, Linear) and first.in_dim == 2 * F:
+            W = net_params[0]["kernel"]  # [2F, H]
+            h = (jnp.einsum("btf,fh->bth", sink_feats, W[:F])[:, :, None, :]
+                 + jnp.einsum("bnf,fh->bnh", nodes, W[F:])[:, None, :, :])
+            if "bias" in net_params[0]:
+                h = h + net_params[0]["bias"]
+            for layer, p in zip(net.layers[1:], net_params[1:]):
+                if hasattr(layer, "init"):
+                    h = layer(p, h)
+                else:
+                    h = layer(h)
+            return h[..., 0]
+        pair_in = jnp.concatenate(
+            [
+                jnp.broadcast_to(sink_feats[:, :, None, :], (B, t, N, F)),
+                jnp.broadcast_to(nodes[:, None, :, :], (B, t, N, F)),
+            ],
+            axis=-1,
+        )
+        return net(net_params, pair_in)[..., 0]
+
     def _temperature(self, params):
         if self.learn_softmax_temp:
             return jnp.clip(params["tau"][0], *self.temp_bounds)
@@ -78,14 +113,7 @@ class LearnedEdge:
         sink_feats = jnp.take_along_axis(
             nodes, jnp.clip(sink, 0, N - 1)[..., None], axis=1
         )  # [B, t, F]
-        pair_in = jnp.concatenate(
-            [
-                jnp.broadcast_to(sink_feats[:, :, None, :], (B, t, N, F)),
-                jnp.broadcast_to(nodes[:, None, :, :], (B, t, N, F)),
-            ],
-            axis=-1,
-        )  # [B, t, N, 2F]
-        logits = self.edge_network(params["edge_network"], pair_in)[..., 0]
+        logits = self._score_pairs(params["edge_network"], sink_feats, nodes)
 
         tau_temp = self._temperature(params)
         cutoff = 1.0 / (1 + self.num_edge_samples)

@@ -399,3 +399,24 @@ class TestSparseOverflow:
             model.check_overflow(state, taus)
         out, st2 = model(params, xs, taus, state)  # must not crash under jit
         assert np.isfinite(np.array(out)).all()
+
+
+class TestFactoredScorer:
+    def test_factored_equals_pair_grid(self):
+        """The factored first-layer decomposition must equal the explicit
+        (sink ‖ source) pair-grid MLP exactly (same params)."""
+        F, B, N, t = 6, 2, 10, 3
+        sel = SparseLearnedEdge(input_size=F, deterministic=True)
+        params = sel.init(jax.random.PRNGKey(0))
+        nodes = jax.random.normal(jax.random.PRNGKey(1), (B, N, F))
+        T = jnp.array([2, 4], jnp.int32)
+        taus = jnp.array([3, 2], jnp.int32)
+        sink = jnp.clip(T[:, None] + jnp.arange(t)[None, :], 0, N - 1)
+        sink_feats = jnp.take_along_axis(nodes, sink[..., None], axis=1)
+
+        fast = sel._score_pairs(params["edge_network"], sink_feats, nodes)
+        pair_in = jnp.concatenate(
+            [jnp.broadcast_to(sink_feats[:, :, None, :], (B, t, N, F)),
+             jnp.broadcast_to(nodes[:, None, :, :], (B, t, N, F))], axis=-1)
+        slow = sel.edge_network(params["edge_network"], pair_in)[..., 0]
+        assert np.allclose(np.array(fast), np.array(slow), atol=1e-5)
