@@ -127,8 +127,14 @@ def bench_sparse_gcm(B=32, obs=8, hidden=32, N=128, T=128):
         ]
         return timed_unique(jit_bwd, inputs)
 
-    T_lo, T_hi = T // 2, T
-    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    # wide spread: sparse whole-window compute is small vs tunnel RTT, so a
+    # narrow T spread can land inside timing noise (T_hi stays within the
+    # graph capacity)
+    T_lo, T_hi = T // 8, T
+    t_lo, t_hi = measure(T_lo), measure(T_hi)
+    slope = (t_hi - t_lo) / (T_hi - T_lo)
+    if slope <= 0:  # noise floor — report the conservative single-call rate
+        return B * T_hi / t_hi
     return B / slope
 
 

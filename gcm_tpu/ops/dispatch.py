@@ -18,7 +18,7 @@ from gcm_tpu.ops.scatter import edge_mask, edge_scatter_add, gather_nodes
 def _spmm_forward(x, edges, weights):
     if (config.use_pallas()
             and x.shape[1] <= config.PALLAS_SPMM_MAX_NODES
-            and edges.shape[-1] <= config.PALLAS_SPMM_MAX_EDGES):
+            and edges.shape[-1] * x.shape[1] >= config.PALLAS_SPMM_MIN_WORK):
         from gcm_tpu.ops.pallas.spmm import spmm_edge_list
 
         return spmm_edge_list(x, edges, weights)
