@@ -112,30 +112,40 @@ def bench_sparse_gcm(B=32, obs=8, hidden=32, N=128, T=128):
         outs, _ = model(p, xs, taus, state)
         return jnp.mean(outs ** 2)
 
-    def bwd(p, xs, taus, state):
-        g = jax.grad(loss)(p, xs, taus, state)
-        return sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g))
+    # chain sequential training windows (state threads through) and take the
+    # slope over the number of windows — whole-window compute is small, so a
+    # single-call T spread lands inside tunnel timing noise
+    import functools
 
-    jit_bwd = jax.jit(bwd)
+    Tw = T // 4  # window length; n_win windows fill the graph exactly
+    taus_w = jnp.full((B,), Tw, jnp.int32)
 
-    def measure(T_w):
-        taus_w = jnp.full((B,), T_w, jnp.int32)
+    @functools.partial(jax.jit, static_argnames=("n_win",))
+    def chain(p, xs_wins, state, n_win):
+        def body(carry, xs_w):
+            st, acc = carry
+            g = jax.grad(loss)(p, xs_w, taus_w, st)
+            gsum = sum(jnp.sum(jnp.abs(l))
+                       for l in jax.tree_util.tree_leaves(g))
+            _, st2 = model(p, xs_w, taus_w, st)
+            return (st2, acc + gsum), None
+        (st, acc), _ = jax.lax.scan(body, (state, 0.0), xs_wins[:n_win])
+        return acc
+
+    def measure(n_win):
         inputs = [
-            (params, jax.random.normal(jax.random.PRNGKey(11 * T_w + i),
-                                       (B, T_w, obs)), taus_w, state)
+            (params,
+             jax.random.normal(jax.random.PRNGKey(17 * n_win + i),
+                               (4, B, Tw, obs)),
+             state)
             for i in range(REPEATS + 1)
         ]
-        return timed_unique(jit_bwd, inputs)
+        return timed_unique(
+            lambda p, xs, st: chain(p, xs, st, n_win=n_win), inputs)
 
-    # wide spread: sparse whole-window compute is small vs tunnel RTT, so a
-    # narrow T spread can land inside timing noise (T_hi stays within the
-    # graph capacity)
-    T_lo, T_hi = T // 8, T
-    t_lo, t_hi = measure(T_lo), measure(T_hi)
-    slope = (t_hi - t_lo) / (T_hi - T_lo)
-    if slope <= 0:  # noise floor — report the conservative single-call rate
-        return B * T_hi / t_hi
-    return B / slope
+    t_lo, t_hi = measure(1), measure(4)
+    slope = max(t_hi - t_lo, 1e-9) / 3
+    return B * Tw / slope
 
 
 def bench_spmm(B=64, N=512, E=8192, F=128, iters_lo=10, iters_hi=60):

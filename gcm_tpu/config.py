@@ -8,6 +8,13 @@ import jax
 # True/False force the choice (tests force False to pin fallback parity).
 USE_PALLAS: bool | str = "auto"
 
+# Dense graph conv: slope-timed measurements (TPU v5e) show XLA's batched
+# einsum beats the per-block Pallas kernel at every practical size
+# (B32/N128/F32: 25 vs 32us per scan step; B32/N512/F128: 25 vs 78us per
+# 2-layer conv) — XLA batches the whole [B,N,N]@[B,N,F] onto the MXU at
+# once. The Pallas path is kept for experimentation but defaults off.
+PALLAS_DENSE_GCONV = False
+
 # Heuristic bounds: the one-hot-matmul SpMM trades FLOPs for MXU residency.
 # Measured crossover (TPU v5e, slope-timed): XLA's sort-based scatter wins
 # below ~1e6 E·N work (e.g. N=128, E=512: 191us vs 438us); the Pallas kernel

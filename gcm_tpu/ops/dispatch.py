@@ -53,7 +53,7 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def _gconv_forward(x, adj, w_rel, b_rel, w_root):
-    if config.use_pallas():
+    if config.use_pallas() and config.PALLAS_DENSE_GCONV:
         from gcm_tpu.ops.pallas.dense_gconv import fused_dense_graph_conv
 
         return fused_dense_graph_conv(x, adj, w_rel, b_rel, w_root)

@@ -31,21 +31,24 @@ def _apply_act(h, act):
     raise ValueError(f"unsupported activation {act}")
 
 
-def _kernel(x_ref, adj_ref, *refs, acts, n_layers):
+def _kernel(x_ref, adj_ref, *refs, acts, n_layers, bb):
     # refs: [wr_0, br_0, wo_0, ..., wr_{L-1}, br_{L-1}, wo_{L-1}, out_ref]
+    # Processes a block of `bb` batch elements per program: per-element work
+    # is tiny (N≈128 matmuls), so batching amortizes the kernel launch.
     out_ref = refs[-1]
-    h = x_ref[0]
-    adj = adj_ref[0]
-    for layer in range(n_layers):
-        wr = refs[3 * layer][...]
-        br = refs[3 * layer + 1][0]
-        wo = refs[3 * layer + 2][...]
-        agg = jnp.dot(adj, h, preferred_element_type=jnp.float32)
-        h = (jnp.dot(agg, wr, preferred_element_type=jnp.float32)
-             + jnp.dot(h, wo, preferred_element_type=jnp.float32)
-             + br[None, :])
-        h = _apply_act(h, acts[layer])
-    out_ref[0] = h.astype(out_ref.dtype)
+    for b in range(bb):
+        h = x_ref[b]
+        adj = adj_ref[b]
+        for layer in range(n_layers):
+            wr = refs[3 * layer][...]
+            br = refs[3 * layer + 1][0]
+            wo = refs[3 * layer + 2][...]
+            agg = jnp.dot(adj, h, preferred_element_type=jnp.float32)
+            h = (jnp.dot(agg, wr, preferred_element_type=jnp.float32)
+                 + jnp.dot(h, wo, preferred_element_type=jnp.float32)
+                 + br[None, :])
+            h = _apply_act(h, acts[layer])
+        out_ref[b] = h.astype(out_ref.dtype)
 
 
 def _use_interpret():
@@ -63,15 +66,25 @@ def _xla_forward(x, adj, flat_params, acts):
     return h
 
 
+def _batch_block(B, N, F, budget_bytes=6 * 1024 * 1024):
+    """Largest batch block whose (adj + 2 activations) fit the VMEM budget."""
+    per_elem = 4 * (N * N + 2 * N * max(F, 128))
+    bb = max(1, budget_bytes // per_elem)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
 @functools.partial(jax.jit, static_argnames=("acts",))
 def _pallas_forward(x, adj, flat_params, acts):
     B, N, F = x.shape
     n_layers = len(acts)
     Fo = flat_params[-3].shape[-1]
-    kernel = functools.partial(_kernel, acts=acts, n_layers=n_layers)
+    bb = _batch_block(B, N, max(F, Fo))
+    kernel = functools.partial(_kernel, acts=acts, n_layers=n_layers, bb=bb)
     in_specs = [
-        pl.BlockSpec((1, N, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, N, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     call_params = []
     for layer in range(n_layers):
@@ -90,9 +103,9 @@ def _pallas_forward(x, adj, flat_params, acts):
     )
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, Fo), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((bb, N, Fo), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, Fo), x.dtype),
         interpret=_use_interpret(),
@@ -110,7 +123,7 @@ def fused_dense_gnn(x, adj, flat_params, acts):
     acts = tuple of None|'tanh'|'relu' per layer. Fully differentiable."""
     from gcm_tpu import config
 
-    if config.use_pallas():
+    if config.use_pallas() and config.PALLAS_DENSE_GCONV:
         return _pallas_forward(x, adj, tuple(flat_params), tuple(acts))
     return _xla_forward(x, adj, flat_params, acts)
 
