@@ -183,8 +183,41 @@ def bench_spmm(B=64, N=512, E=8192, F=128, iters_lo=10, iters_hi=60):
     return B * E / slope
 
 
+def bench_ring_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
+    """RingDenseGCM: same outputs as DenseGCM, O(N) eviction instead of the
+    O(N^2) wraparound roll."""
+    from gcm_tpu.edges.temporal import TemporalBackedge
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    model = RingDenseGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                         edge_selectors=TemporalBackedge([1]), graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def fwd(p, x):
+        outs, _ = model.scan(p, x, model.initial_state(B, obs))
+        return jnp.sum(outs)
+
+    jf = jax.jit(fwd)
+
+    def measure(T):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(23 * T + i),
+                                       (B, T, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(jf, inputs)
+
+    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    return B / slope
+
+
 def main():
     fwd, fwd_bwd = bench_dense_gcm()
+    ring = bench_ring_gcm()
     sparse_train = bench_sparse_gcm()
     spmm = bench_spmm()
     print(json.dumps({
@@ -193,6 +226,7 @@ def main():
         "unit": "timesteps/s",
         "vs_baseline": round(fwd / BASELINE_FWD_TIMESTEPS_PER_S, 3),
         "fwd_bwd_timesteps_per_s": round(fwd_bwd),
+        "ring_timesteps_per_s": round(ring),
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
         "backend": jax.default_backend(),

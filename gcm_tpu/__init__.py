@@ -26,6 +26,7 @@ from gcm_tpu.edges.sparse_temporal import TemporalEdge
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
 from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM, NavState
+from gcm_tpu.models.ring_gcm import RingDenseGCM, RingGraphState
 from gcm_tpu.models.sparse_gcm import SparseGCM
 from gcm_tpu.utils.packing import pack_hidden, unpack_hidden
 from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEncoding
@@ -36,6 +37,8 @@ from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
 __version__ = "0.1.0"
 
 __all__ = [
+    "RingDenseGCM",
+    "RingGraphState",
     "NavGCM",
     "NavDenseGNN",
     "NavState",

@@ -1,0 +1,244 @@
+"""RingDenseGCM — the steady-state-optimized dense memory core.
+
+Produces EXACTLY the same belief sequence as DenseGCM (permutation
+equivariance of graph convolution), but stores nodes at a rotating cursor
+instead of physically shifting the ring buffer: the reference's wraparound
+(gcm.py:323-355) rolls the whole [B, N, N] adjacency every step once the
+memory is full — O(N²) HBM traffic per step and the dominant steady-state
+cost — while here eviction just zeroes one row and one column, O(N).
+
+Slot geometry: after t steps the cursor is p = t mod N. The slot holding the
+observation from step τ is τ mod N; a slot s currently holds age
+a(s) = (p − s) mod N (0 = the node being inserted this step). Valid past
+slots are 1 ≤ a(s) ≤ min(t, N−1). DenseGCM's logical row index of slot s is
+r(s) = count − 1 − a(s) with count = min(t+1, N) — used only by the
+positional encoder, which must see logical positions.
+
+Edge selectors are evaluated natively in slot space (supported:
+TemporalBackedge (deterministic), DenseEdge, Distance family, LearnedEdge,
+EdgeChain). Sparsemax/softmax scoring is permutation-invariant, so learned
+selection matches DenseGCM exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.edges.chain import EdgeChain
+from gcm_tpu.edges.dense import DenseEdge
+from gcm_tpu.edges.distance import Distance
+from gcm_tpu.edges.learned import LearnedEdge
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.utils.ste import gumbel_softmax, spardmax, ste
+
+
+class RingGraphState(NamedTuple):
+    nodes: jax.Array    # [B, N, F] slot-indexed
+    adj: jax.Array      # [B, N, N] slot-indexed
+    weights: jax.Array  # [B, N, N] or (0,)
+    t: jax.Array        # [B] int32 — total steps taken
+
+
+class RingDenseGCM:
+    """Drop-in DenseGCM with ring-pointer storage. Same constructor and
+    params; state is RingGraphState (slot-permuted relative to
+    DenseGraphState)."""
+
+    def __init__(self, gnn, preprocessor=None, edge_selectors=None,
+                 aux_edge_selectors=None, graph_size: int = 128,
+                 pooled: bool = False, positional_encoder=None,
+                 edge_weights: bool = False):
+        self.gnn = gnn
+        self.preprocessor = preprocessor
+        self.edge_selectors = edge_selectors
+        self.aux_edge_selectors = aux_edge_selectors
+        self.graph_size = graph_size
+        self.pooled = pooled
+        self.positional_encoder = positional_encoder
+        self.edge_weights = edge_weights
+
+    # params identical to DenseGCM
+    def init(self, key):
+        params = {}
+        key, sub = jax.random.split(key)
+        params["gnn"] = self.gnn.init(sub)
+        for name in ("preprocessor", "edge_selectors", "aux_edge_selectors",
+                     "positional_encoder"):
+            mod = getattr(self, name)
+            if mod is not None:
+                key, sub = jax.random.split(key)
+                params[name] = mod.init(sub)
+        return params
+
+    def initial_state(self, B: int, feat: int, dtype=jnp.float32):
+        N = self.graph_size
+        return RingGraphState(
+            nodes=jnp.zeros((B, N, feat), dtype),
+            adj=jnp.zeros((B, N, N), dtype),
+            weights=(jnp.zeros((B, N, N), dtype) if self.edge_weights
+                     else jnp.zeros((0,), dtype)),
+            t=jnp.zeros((B,), jnp.int32),
+        )
+
+    # -- slot geometry -----------------------------------------------------
+    def _geometry(self, t):
+        N = self.graph_size
+        p = jnp.mod(t, N)                       # [B] cursor
+        past_count = jnp.minimum(t, N - 1)      # valid past nodes
+        slots = jnp.arange(N)[None, :]
+        age = jnp.mod(p[:, None] - slots, N)    # [B, N]
+        valid_past = (age >= 1) & (age <= past_count[:, None])
+        return p, past_count, age, valid_past
+
+    # -- selector dispatch (slot space) ------------------------------------
+    def _apply_selector(self, sel, params, nodes, adj, weights, p, t, key):
+        B, N = adj.shape[0], adj.shape[1]
+        b_idx = jnp.arange(B)
+        _, past_count, age, valid_past = self._geometry(t)
+
+        if isinstance(sel, EdgeChain):
+            for s, sp in zip(sel.selectors, params):
+                sub = None
+                if key is not None:
+                    key, sub = jax.random.split(key)
+                adj, weights = self._apply_selector(s, sp, nodes, adj,
+                                                    weights, p, t, sub)
+            return adj, weights
+
+        if isinstance(sel, TemporalBackedge):
+            if sel.learned:
+                raise NotImplementedError(
+                    "learned TemporalBackedge: use DenseGCM")
+            for hop in sel.hops:
+                ok = past_count >= hop
+                src = jnp.mod(p - hop, N)
+                if sel.direction in ("forward", "both"):
+                    old = adj[b_idx, p, src]
+                    adj = adj.at[b_idx, p, src].set(jnp.where(ok, 1.0, old))
+                if sel.direction in ("backward", "both"):
+                    old = adj[b_idx, src, p]
+                    adj = adj.at[b_idx, src, p].set(jnp.where(ok, 1.0, old))
+            return adj, weights
+
+        if isinstance(sel, DenseEdge):
+            row_mask = valid_past | (age == 0)  # incl. self edge
+            cur_row = jnp.where(row_mask, 1.0, adj[b_idx, p])
+            adj = adj.at[b_idx, p, :].set(cur_row)
+            cur_col = jnp.where(valid_past, 1.0, adj[b_idx, :, p])
+            adj = adj.at[b_idx, :, p].set(cur_col)
+            return adj, weights
+
+        if isinstance(sel, Distance):
+            scored_nodes = nodes
+            if sel.learned:
+                scored_nodes = nodes / params["dist_param"]
+            curr = scored_nodes[b_idx, p]
+            dists = sel.dist_fn(curr, scored_nodes)  # [B, N]
+            mask = (dists < sel.max_distance) & valid_past
+            cur_row = jnp.where(mask, 1.0, adj[b_idx, p])
+            adj = adj.at[b_idx, p, :].set(cur_row)
+            if sel.bidirectional:
+                cur_col = jnp.where(mask, 1.0, adj[b_idx, :, p])
+                adj = adj.at[b_idx, :, p].set(cur_col)
+            return adj, weights
+
+        if isinstance(sel, LearnedEdge):
+            curr = nodes[b_idx, p]
+            net_in = jnp.concatenate(
+                [jnp.broadcast_to(curr[:, None, :], nodes.shape), nodes],
+                axis=-1,
+            )
+            logits = sel.edge_network(params["edge_network"], net_in)[..., 0]
+            shaped = jnp.where(valid_past, logits, -1e10)
+            if sel.deterministic:
+                edges = spardmax(shaped, axis=-1)
+            else:
+                cutoff = 1.0 / (1 + sel.num_edge_samples)
+                soft = gumbel_softmax(key, shaped, axis=-1)
+                edges = ste(soft - cutoff)
+            old_row = adj[b_idx, p]
+            new_row = jnp.where(valid_past, ste(edges + old_row), old_row)
+            adj = adj.at[b_idx, p].set(new_row)
+            return adj, weights
+
+        raise NotImplementedError(f"ring mode: unsupported selector {sel}")
+
+    # -- positional encoding with logical indices --------------------------
+    def _positional(self, params, x, t):
+        """PE sees DenseGCM's logical row index r(s) = count-1 - age(s)."""
+        pe_params = params["positional_encoder"]
+        enc = self.positional_encoder
+        N = self.graph_size
+        _, _, age, valid_past = self._geometry(t)
+        count = jnp.minimum(t + 1, N)
+        r = count[:, None] - 1 - age  # [B, N] logical index; current slot ->
+        # count-1; invalid slots get junk but are masked below
+        valid = valid_past | (age == 0)
+        table = pe_params["pe"]  # [max_len, d_model]
+        F = x.shape[-1]
+        pe_rows = table[jnp.clip(r, 0, table.shape[0] - 1), :F]
+        if enc.mode == "add":
+            return jnp.where(valid[..., None], x + pe_rows, x)
+        raise NotImplementedError("ring mode: PE 'cat' — use DenseGCM")
+
+    # -- one timestep ------------------------------------------------------
+    def __call__(self, params, x, state: RingGraphState, key=None):
+        nodes, adj, weights, t = state
+        B = x.shape[0]
+        b_idx = jnp.arange(B)
+        p, _, _, _ = self._geometry(t)
+
+        # evict slot p (O(N): one row + one column) and insert
+        adj = adj.at[b_idx, p, :].set(0.0)
+        adj = adj.at[b_idx, :, p].set(0.0)
+        if weights.size > 0:
+            weights = weights.at[b_idx, p, :].set(0.0)
+            weights = weights.at[b_idx, :, p].set(0.0)
+        nodes = nodes.at[b_idx, p].set(x.astype(nodes.dtype))
+        dirty_nodes = nodes
+
+        if self.edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            adj, weights = self._apply_selector(
+                self.edge_selectors, params.get("edge_selectors"),
+                dirty_nodes, adj, weights, p, t, sub)
+
+        if self.preprocessor is not None:
+            dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)
+
+        if self.aux_edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            enc = dirty_nodes
+            if self.positional_encoder is not None:
+                enc = self._positional(params, dirty_nodes, t)
+            adj, weights = self._apply_selector(
+                self.aux_edge_selectors, params.get("aux_edge_selectors"),
+                enc, adj, weights, p, t, sub)
+
+        node_feats = self.gnn(params["gnn"], dirty_nodes, adj, weights)
+        mx = node_feats if self.pooled else node_feats[b_idx, p]
+        return mx, RingGraphState(nodes, adj, weights, t + 1)
+
+    def scan(self, params, xs, state: RingGraphState, key=None):
+        T = xs.shape[1]
+        keys = None if key is None else jax.random.split(key, T)
+
+        def step(carry, inp):
+            if keys is None:
+                x, k = inp, None
+            else:
+                x, k = inp
+            out, new_state = self(params, x, carry, key=k)
+            return new_state, out
+
+        xs_t = jnp.swapaxes(xs, 0, 1)
+        inputs = xs_t if keys is None else (xs_t, keys)
+        final_state, outs = jax.lax.scan(step, state, inputs)
+        return jnp.swapaxes(outs, 0, 1), final_state

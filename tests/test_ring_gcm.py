@@ -1,0 +1,100 @@
+"""RingDenseGCM ↔ DenseGCM output parity: the ring-pointer core must produce
+the exact belief sequence of the roll-based core for every supported selector,
+through multiple wraparounds of the memory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcm_tpu.edges.chain import EdgeChain
+from gcm_tpu.edges.dense import DenseEdge
+from gcm_tpu.edges.distance import EuclideanEdge, SpatialEdge
+from gcm_tpu.edges.learned import LearnedEdge
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.models.dense_gcm import DenseGCM
+from gcm_tpu.models.positional import PositionalEncoding
+from gcm_tpu.models.ring_gcm import RingDenseGCM
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import MLP, Linear
+
+
+def run_pair(selector_fn, B=3, N=6, F=5, T=20, preprocessor=False, pe=False,
+             seed=0):
+    """Build DenseGCM and RingDenseGCM with identical params, run T steps
+    (> 3 wraps), compare outputs."""
+    gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                    DenseGraphConv(F, F), jnp.tanh])
+    kw = dict(graph_size=N)
+    if preprocessor:
+        kw["preprocessor"] = MLP([Linear(F, F)])
+    if pe:
+        kw["positional_encoder"] = PositionalEncoding(max_len=N, mode="add",
+                                                      feat_dim=F)
+        kw["aux_edge_selectors"] = selector_fn()
+        dense = DenseGCM(gnn, **kw)
+        ring = RingDenseGCM(gnn, **kw)
+    else:
+        dense = DenseGCM(gnn, edge_selectors=selector_fn(), **kw)
+        ring = RingDenseGCM(gnn, edge_selectors=selector_fn(), **kw)
+    params = dense.init(jax.random.PRNGKey(seed))
+    xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, F))
+    outs_d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+    outs_r, _ = ring.scan(params, xs, ring.initial_state(B, F))
+    return np.array(outs_d), np.array(outs_r)
+
+
+class TestRingParity:
+    def test_temporal(self):
+        d, r = run_pair(lambda: TemporalBackedge([1]))
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_temporal_multihop_both(self):
+        d, r = run_pair(lambda: TemporalBackedge([1, 3], direction="both"))
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_dense_edge(self):
+        d, r = run_pair(DenseEdge)
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_euclidean(self):
+        d, r = run_pair(lambda: EuclideanEdge(max_distance=2.0))
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_spatial(self):
+        d, r = run_pair(lambda: SpatialEdge(1.0, slice(0, 2)))
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_learned_deterministic(self):
+        d, r = run_pair(lambda: LearnedEdge(input_size=5, deterministic=True))
+        assert np.allclose(d, r, atol=1e-4)
+
+    def test_chain(self):
+        d, r = run_pair(lambda: EdgeChain([TemporalBackedge([1]),
+                                           TemporalBackedge([2])]))
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_with_preprocessor(self):
+        d, r = run_pair(lambda: TemporalBackedge([1]), preprocessor=True)
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_with_positional_encoding_aux(self):
+        d, r = run_pair(lambda: LearnedEdge(input_size=5, deterministic=True),
+                        pe=True)
+        assert np.allclose(d, r, atol=1e-4)
+
+    def test_exact_fill_boundary(self):
+        """T == N and T == N+1: the first wrap step must agree."""
+        d, r = run_pair(lambda: TemporalBackedge([1]), N=6, T=7)
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_unsupported_selector_raises(self):
+        gnn = DenseGNN([DenseGraphConv(4, 4)])
+        ring = RingDenseGCM(
+            gnn, graph_size=4,
+            edge_selectors=TemporalBackedge([1], learned=True))
+        params = {"gnn": gnn.init(jax.random.PRNGKey(0)),
+                  "edge_selectors": TemporalBackedge(
+                      [1], learned=True).init(jax.random.PRNGKey(1))}
+        with pytest.raises(NotImplementedError):
+            ring(params, jnp.ones((1, 4)), ring.initial_state(1, 4))
