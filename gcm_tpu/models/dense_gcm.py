@@ -42,6 +42,7 @@ class DenseGCM:
         pooled: bool = False,
         positional_encoder=None,
         edge_weights: bool = False,
+        validate: bool = False,
     ):
         self.gnn = gnn
         self.preprocessor = preprocessor
@@ -51,6 +52,7 @@ class DenseGCM:
         self.pooled = pooled
         self.positional_encoder = positional_encoder
         self.edge_weights = edge_weights
+        self.validate = validate
 
     # -- params ------------------------------------------------------------
     def init(self, key):
@@ -74,6 +76,10 @@ class DenseGCM:
     # -- one timestep ------------------------------------------------------
     def __call__(self, params, x, state: DenseGraphState, key=None):
         """x: [B, F] observation. Returns (belief [B, F_out], new state)."""
+        if self.validate:
+            from gcm_tpu.utils.validation import check_dense_inputs
+
+            check_dense_inputs(x, state, self.graph_size)
         B = x.shape[0]
         b_idx = jnp.arange(B)
 

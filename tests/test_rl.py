@@ -122,3 +122,19 @@ class TestA2C:
         # expected return for random policy: 1/2 per episode
         assert late > max(0.62, early + 0.05), (
             f"did not learn: early={early:.3f} late={late:.3f}")
+
+
+class TestRingCoreWrapper:
+    def test_ring_wrapper_matches_dense(self):
+        """core='ring' produces identical logits/values (RingDenseGCM output
+        parity) while storing the memory in slot space."""
+        env = RecallEnv()
+        dense = make_policy(env)
+        ring = make_policy(env, core="ring")
+        params = dense.init(jax.random.PRNGKey(0))
+        B, T = 2, env.horizon + 3  # wraps past graph capacity
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        ld, vd, _ = dense(params, obs, dense.initial_state(B))
+        lr_, vr, _ = ring(params, obs, ring.initial_state(B))
+        assert np.allclose(np.array(ld), np.array(lr_), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vr), atol=1e-5)
