@@ -50,7 +50,7 @@ class RingDenseGCM:
     def __init__(self, gnn, preprocessor=None, edge_selectors=None,
                  aux_edge_selectors=None, graph_size: int = 128,
                  pooled: bool = False, positional_encoder=None,
-                 edge_weights: bool = False):
+                 edge_weights: bool = False, validate: bool = False):
         self.gnn = gnn
         self.preprocessor = preprocessor
         self.edge_selectors = edge_selectors
@@ -59,6 +59,7 @@ class RingDenseGCM:
         self.pooled = pooled
         self.positional_encoder = positional_encoder
         self.edge_weights = edge_weights
+        self.validate = validate
 
     # params identical to DenseGCM
     def init(self, key):
@@ -186,6 +187,10 @@ class RingDenseGCM:
 
     # -- one timestep ------------------------------------------------------
     def __call__(self, params, x, state: RingGraphState, key=None):
+        if self.validate:
+            from gcm_tpu.utils.validation import check_ring_inputs
+
+            check_ring_inputs(x, state, self.graph_size)
         nodes, adj, weights, t = state
         B = x.shape[0]
         b_idx = jnp.arange(B)

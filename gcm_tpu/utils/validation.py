@@ -22,6 +22,10 @@ def _check(cond: bool, msg: str):
 
 def check_dense_inputs(x, state, graph_size: int):
     """DenseGCM step contract (reference gcm.py:246-260)."""
+    _check(hasattr(state, "num_nodes"),
+           f"DenseGCM expects a DenseGraphState (has num_nodes); got "
+           f"{type(state).__name__} — a RingGraphState belongs to "
+           f"RingDenseGCM")
     nodes, adj, weights, num_nodes = state
     _check(x.ndim == 2, f"x must be [B, feat], got {x.shape}")
     B, F = x.shape
@@ -56,3 +60,22 @@ def check_sparse_inputs(x, taus, state, graph_size: int, max_edges: int):
     _check(weights.shape == (B, max_edges),
            f"weights must be [B, E={max_edges}], got {weights.shape}")
     _check(t.shape == (B,), f"t must be [B={B}], got {t.shape}")
+
+
+def check_ring_inputs(x, state, graph_size: int):
+    """RingDenseGCM step contract: same shapes as dense, but the state must
+    be a RingGraphState (cursor semantics differ from num_nodes)."""
+    _check(hasattr(state, "t") and not hasattr(state, "num_edges"),
+           f"RingDenseGCM expects a RingGraphState (has t); got "
+           f"{type(state).__name__}")
+    nodes, adj, weights, t = state
+    _check(x.ndim == 2, f"x must be [B, feat], got {x.shape}")
+    B, F = x.shape
+    N = graph_size
+    _check(nodes.shape == (B, N, F),
+           f"nodes must be [B={B}, N={N}, F={F}], got {nodes.shape}")
+    _check(adj.shape == (B, N, N),
+           f"adj must be [B={B}, N={N}, N={N}], got {adj.shape}")
+    _check(t.shape == (B,), f"t must be [B={B}], got {t.shape}")
+    _check(jnp.issubdtype(t.dtype, jnp.integer),
+           f"t must be integer, got {t.dtype}")

@@ -122,3 +122,33 @@ class TestSparseConvInsideDenseGCM:
         out_h, _ = hybrid.scan(params, xs, hybrid.initial_state(B, F))
         out_p, _ = plain.scan(plain_params, xs, plain.initial_state(B, F))
         assert np.allclose(np.array(out_h), np.array(out_p), atol=1e-5)
+
+
+class TestCrossStateGuard:
+    def test_ring_rejects_dense_state(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.models.ring_gcm import RingDenseGCM
+        from gcm_tpu.nn.dense_conv import DenseGraphConv
+
+        F, N = 4, 6
+        gnn = DenseGNN([DenseGraphConv(F, F)])
+        ring = RingDenseGCM(gnn, graph_size=N, validate=True,
+                            edge_selectors=TemporalBackedge([1]))
+        params = ring.init(jax.random.PRNGKey(0))
+        dense_model = DenseGCM(gnn, graph_size=N)
+        dense_state = dense_model.initial_state(1, F)
+        with pytest.raises(ShapeError, match="RingGraphState"):
+            ring(params, jnp.ones((1, F)), dense_state)
+
+    def test_dense_rejects_ring_state(self):
+        from gcm_tpu.models.presets import readme_dense_gcm
+        from gcm_tpu.models.ring_gcm import RingGraphState
+
+        model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=4)
+        model.validate = True
+        params = model.init(jax.random.PRNGKey(0))
+        ring_state = RingGraphState(
+            nodes=jnp.zeros((1, 4, 4)), adj=jnp.zeros((1, 4, 4)),
+            weights=jnp.zeros((0,)), t=jnp.zeros((1,), jnp.int32))
+        with pytest.raises(ShapeError, match="DenseGraphState"):
+            model(params, jnp.ones((1, 4)), ring_state)
