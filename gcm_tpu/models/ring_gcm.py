@@ -111,8 +111,8 @@ class RingDenseGCM:
 
         if isinstance(sel, TemporalBackedge):
             if sel.learned:
-                raise NotImplementedError(
-                    "learned TemporalBackedge: use DenseGCM")
+                return self._learned_temporal(sel, params, adj, p, t, key), \
+                    weights
             for hop in sel.hops:
                 ok = past_count >= hop
                 src = jnp.mod(p - hop, N)
@@ -167,6 +167,34 @@ class RingDenseGCM:
 
         raise NotImplementedError(f"ring mode: unsupported selector {sel}")
 
+    def _learned_temporal(self, sel, params, adj, p, t, key):
+        """Learned TemporalBackedge in slot space (reference
+        temporal.py:51-70): the window parameter is indexed by the LOGICAL
+        row (0 = oldest in buffer), so slot s reads window[r(s)] where
+        r(s) = count-1-age(s); mask to r(s) < min(past_count, W)."""
+        B, N = adj.shape[0], adj.shape[1]
+        b_idx = jnp.arange(B)
+        _, past_count, age, valid_past = self._geometry(t)
+        W = sel.learning_window
+        window = params["window"]  # [W]
+        count = jnp.minimum(t + 1, N)
+        r = count[:, None] - 1 - age  # [B, N] logical index
+        cand = valid_past & (r < jnp.minimum(past_count, W)[:, None]) & (r >= 0)
+        neg = jnp.finfo(window.dtype).min
+        logits = jnp.where(cand, window[jnp.clip(r, 0, W - 1)], neg)
+        if sel.deterministic:
+            mask = spardmax(logits, axis=-1)
+        else:
+            keys = jax.random.split(key, sel.num_samples)
+            from gcm_tpu.utils.ste import diff_or
+
+            mask = diff_or([gumbel_softmax(k, logits, hard=True)
+                            for k in keys])
+        mask = mask * cand.astype(mask.dtype)
+        has_nodes = (past_count > 0)[:, None]
+        update = jnp.where(has_nodes, mask, 0.0)
+        return adj.at[b_idx, p, :].add(update)
+
     # -- positional encoding with logical indices --------------------------
     def _positional(self, params, x, t):
         """PE sees DenseGCM's logical row index r(s) = count-1 - age(s)."""
@@ -180,10 +208,19 @@ class RingDenseGCM:
         valid = valid_past | (age == 0)
         table = pe_params["pe"]  # [max_len, d_model]
         F = x.shape[-1]
-        pe_rows = table[jnp.clip(r, 0, table.shape[0] - 1), :F]
         if enc.mode == "add":
+            pe_rows = table[jnp.clip(r, 0, table.shape[0] - 1), :F]
             return jnp.where(valid[..., None], x + pe_rows, x)
-        raise NotImplementedError("ring mode: PE 'cat' — use DenseGCM")
+        # 'cat' mode (reference gcm.py:132-140): reproject features to
+        # F - cat_dim and prepend cat_dim PE dims at the logical index
+        from gcm_tpu.nn.module import Linear
+
+        cat = enc.cat_dim
+        reproj = Linear(F, F - cat)
+        x_re = reproj(pe_params["reproject"], x)
+        pe_rows = table[jnp.clip(r, 0, table.shape[0] - 1), :cat]
+        out = jnp.concatenate([pe_rows, x_re], axis=-1)
+        return jnp.where(valid[..., None], out, x)
 
     # -- one timestep ------------------------------------------------------
     def __call__(self, params, x, state: RingGraphState, key=None):

@@ -89,12 +89,41 @@ class TestRingParity:
         assert np.allclose(d, r, atol=1e-5)
 
     def test_unsupported_selector_raises(self):
+        class ExoticSelector:
+            def init(self, key):
+                return {}
+
         gnn = DenseGNN([DenseGraphConv(4, 4)])
-        ring = RingDenseGCM(
-            gnn, graph_size=4,
-            edge_selectors=TemporalBackedge([1], learned=True))
+        ring = RingDenseGCM(gnn, graph_size=4,
+                            edge_selectors=ExoticSelector())
         params = {"gnn": gnn.init(jax.random.PRNGKey(0)),
-                  "edge_selectors": TemporalBackedge(
-                      [1], learned=True).init(jax.random.PRNGKey(1))}
+                  "edge_selectors": {}}
         with pytest.raises(NotImplementedError):
             ring(params, jnp.ones((1, 4)), ring.initial_state(1, 4))
+
+
+class TestRingGeneralization:
+    def test_learned_temporal_deterministic_parity(self):
+        d, r = run_pair(lambda: TemporalBackedge([1], learned=True,
+                                                 learning_window=5,
+                                                 deterministic=True),
+                        N=6, T=15)
+        assert np.allclose(d, r, atol=1e-5)
+
+    def test_cat_pe_parity(self):
+        """cat-mode positional encoding with an aux learned selector."""
+        B, N, F, T = 2, 6, 8, 14
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        kw = dict(
+            graph_size=N,
+            positional_encoder=PositionalEncoding(max_len=N, mode="cat",
+                                                  cat_dim=4, feat_dim=F),
+            aux_edge_selectors=LearnedEdge(input_size=F, deterministic=True),
+        )
+        dense = DenseGCM(gnn, **kw)
+        ring = RingDenseGCM(gnn, **kw)
+        params = dense.init(jax.random.PRNGKey(3))
+        xs = jax.random.normal(jax.random.PRNGKey(4), (B, T, F))
+        outs_d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+        outs_r, _ = ring.scan(params, xs, ring.initial_state(B, F))
+        assert np.allclose(np.array(outs_d), np.array(outs_r), atol=1e-4)
