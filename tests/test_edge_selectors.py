@@ -243,3 +243,35 @@ class TestChain:
         adj, _ = chain(params, nodes, adj, w, jnp.array([5]))
         a = np.array(adj)
         assert a[0, 5, 4] == 1 and a[0, 5, 2] == 1 and a.sum() == 2
+
+
+class TestLearnedTemporalStochastic:
+    def test_gumbel_branch_with_key(self):
+        """The stochastic learned-window branch (reference temporal.py:58-66:
+        num_samples gumbel draws OR-ed together)."""
+        sel = TemporalBackedge([1], learned=True, learning_window=5,
+                               deterministic=False, num_samples=3)
+        params = sel.init(jax.random.PRNGKey(0))
+        nodes, adj, w = blank(2, 8)
+        adj2, _ = sel(params, nodes, adj, w, jnp.array([0, 4]),
+                      key=jax.random.PRNGKey(7))
+        a = np.array(adj2)
+        assert a[0].sum() == 0  # no past nodes
+        assert a[1, 4, :4].sum() >= 1  # at least one sampled edge
+        assert a[1, 4, 4:].sum() == 0
+        assert np.delete(a[1], 4, axis=0).sum() == 0
+
+    def test_gumbel_branch_grads(self):
+        sel = TemporalBackedge([1], learned=True, learning_window=5,
+                               deterministic=False, num_samples=2)
+        params = sel.init(jax.random.PRNGKey(0))
+        nodes, adj, w = blank(1, 8)
+
+        def loss(p):
+            a, _ = sel(p, nodes, adj, w, jnp.array([4]),
+                       key=jax.random.PRNGKey(1))
+            return jnp.sum(a * jnp.arange(8.0)[None, None, :])
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(np.array(g["window"])).all()
+        assert np.abs(np.array(g["window"])).sum() > 0

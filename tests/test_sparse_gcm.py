@@ -420,3 +420,59 @@ class TestFactoredScorer:
              jnp.broadcast_to(nodes[:, None, :, :], (B, t, N, F))], axis=-1)
         slow = sel.edge_network(params["edge_network"], pair_in)[..., 0]
         assert np.allclose(np.array(fast), np.array(slow), atol=1e-5)
+
+
+class TestCodecProperties:
+    """Property-style randomized round trips for the packing and coalesce
+    codecs (the reference pins these with enumerated cases,
+    tests/test_sparse_gcm.py:74-304; here: 20 random graphs each)."""
+
+    def test_pack_unpack_random_roundtrips(self):
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            B = int(rng.integers(1, 4))
+            N = int(rng.integers(4, 20))
+            E = int(rng.integers(2, 16))
+            st = sparse_initial_state(B, N, 4, max_edges=E)
+            edges = np.full((B, 2, E), -1, np.int32)
+            counts = rng.integers(0, E + 1, size=B)
+            for b in range(B):
+                for e in range(counts[b]):
+                    edges[b, 0, e] = rng.integers(0, N)
+                    edges[b, 1, e] = rng.integers(0, N)
+            st = st._replace(edges=jnp.asarray(edges),
+                             num_edges=jnp.asarray(counts, jnp.int32))
+            packed = pack_hidden(st, max_edges=E)
+            rt = unpack_hidden(packed, max_edges=E)
+            for b in range(B):
+                assert edge_set(rt.edges[b]) == edge_set(st.edges[b]), trial
+
+    def test_coalesce_random_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        for trial in range(20):
+            N = int(rng.integers(3, 12))
+            E = int(rng.integers(2, 24))
+            count = int(rng.integers(0, E + 1))
+            edges = np.full((1, 2, E), -1, np.int32)
+            w = np.zeros((1, E), np.float32)
+            for e in range(count):
+                edges[0, 0, e] = rng.integers(0, N)
+                edges[0, 1, e] = rng.integers(0, N)
+                w[0, e] = rng.random() + 0.1
+            e2, w2, n = coalesce_edges(jnp.asarray(edges), jnp.asarray(w),
+                                       num_nodes=N, reduce="mean")
+            # numpy oracle
+            groups = {}
+            for e in range(count):
+                key = (edges[0, 0, e], edges[0, 1, e])
+                groups.setdefault(key, []).append(w[0, e])
+            want = {k: float(np.mean(v)) for k, v in groups.items()}
+            got = {}
+            for e in range(E):
+                s, t = int(e2[0, 0, e]), int(e2[0, 1, e])
+                if s >= 0:
+                    got[(s, t)] = float(w2[0, e])
+            assert int(n[0]) == len(want), trial
+            assert set(got) == set(want), trial
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-5, (trial, k)
