@@ -215,9 +215,41 @@ def bench_ring_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
     return B / slope
 
 
+def bench_banded_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
+    """BandedRingGCM: exact DenseGCM outputs for the temporal workload with
+    the adjacency kept implicit (masked rolls, no N^2 matmul)."""
+    from gcm_tpu.models.banded_gcm import BandedRingGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    model = BandedRingGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                          hops=(1,), graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def fwd(p, x):
+        outs, _ = model.scan(p, x, model.initial_state(B, obs))
+        return jnp.sum(outs)
+
+    jf = jax.jit(fwd)
+
+    def measure(T):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(29 * T + i),
+                                       (B, T, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(jf, inputs)
+
+    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    return B / slope
+
+
 def main():
     fwd, fwd_bwd = bench_dense_gcm()
     ring = bench_ring_gcm()
+    banded = bench_banded_gcm()
     sparse_train = bench_sparse_gcm()
     spmm = bench_spmm()
     print(json.dumps({
@@ -227,6 +259,7 @@ def main():
         "vs_baseline": round(fwd / BASELINE_FWD_TIMESTEPS_PER_S, 3),
         "fwd_bwd_timesteps_per_s": round(fwd_bwd),
         "ring_timesteps_per_s": round(ring),
+        "banded_timesteps_per_s": round(banded),
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
         "backend": jax.default_backend(),

@@ -23,6 +23,7 @@ from gcm_tpu.edges.sparse_spatial import (
     SpatialRadiusEdge,
 )
 from gcm_tpu.edges.sparse_temporal import TemporalEdge
+from gcm_tpu.models.banded_gcm import BandedRingGCM, BandedState
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
 from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM, NavState
@@ -37,6 +38,8 @@ from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
 __version__ = "0.1.0"
 
 __all__ = [
+    "BandedRingGCM",
+    "BandedState",
     "RingDenseGCM",
     "RingGraphState",
     "NavGCM",

@@ -1,0 +1,127 @@
+"""BandedRingGCM — temporal-backedge fast path with implicit adjacency.
+
+For the (very common) case where the only edge selector is a deterministic
+forward TemporalBackedge, the memory graph is a banded matrix: slot s has
+in-edges exactly from slots (s − h) mod N. This core never materializes the
+[B, N, N] adjacency — neighborhood aggregation is a masked roll of the layer
+input, O(hops·N·F) per layer instead of the O(N²F) adj @ x matmul, and the
+state is just (nodes, t).
+
+Produces EXACTLY DenseGCM's belief sequence for
+edge_selectors=TemporalBackedge(hops, direction='forward') and a
+DenseGraphConv('add') + activation GNN stack (pinned by
+tests/test_banded_gcm.py).
+
+Edge-existence rule in slot space: the edge (sink s, source (s−h) mod N)
+exists iff (a) the sink had ≥ h predecessors when it was inserted —
+min(t_insert, N−1) ≥ h with t_insert = t − age(s) — and (b) the source is
+still alive: age(s) + h ≤ min(t, N−1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+
+class BandedState(NamedTuple):
+    nodes: jax.Array  # [B, N, F] slot-indexed raw observations
+    t: jax.Array      # [B] int32
+
+
+class BandedRingGCM:
+    def __init__(self, gnn: DenseGNN, preprocessor=None,
+                 hops: Sequence[int] = (1,), graph_size: int = 128):
+        assert isinstance(gnn, DenseGNN), "BandedRingGCM needs a DenseGNN"
+        plan = gnn._plan_fusion() if gnn.fuse else None
+        if plan is None:
+            # re-derive: we need the conv/act structure regardless of fuse
+            plan = DenseGNN(gnn.layers)._plan_fusion()
+        assert plan is not None, (
+            "BandedRingGCM supports DenseGraphConv('add') + tanh/relu stacks")
+        self._conv_idx, self._acts = plan
+        self.gnn = gnn
+        self.preprocessor = preprocessor
+        self.hops = tuple(hops)
+        self.graph_size = graph_size
+
+    def init(self, key):
+        params = {}
+        key, sub = jax.random.split(key)
+        params["gnn"] = self.gnn.init(sub)
+        if self.preprocessor is not None:
+            key, sub = jax.random.split(key)
+            params["preprocessor"] = self.preprocessor.init(sub)
+        return params
+
+    def initial_state(self, B: int, feat: int, dtype=jnp.float32):
+        return BandedState(
+            nodes=jnp.zeros((B, self.graph_size, feat), dtype),
+            t=jnp.zeros((B,), jnp.int32),
+        )
+
+    def _hop_masks(self, t):
+        """[B, N] edge-validity mask per hop (see module docstring)."""
+        N = self.graph_size
+        p = jnp.mod(t, N)
+        slots = jnp.arange(N)[None, :]
+        age = jnp.mod(p[:, None] - slots, N)  # age AFTER this insert: 0 = new
+        alive = age <= jnp.minimum(t, N - 1)[:, None]
+        t_insert = t[:, None] - age
+        masks = []
+        for h in self.hops:
+            had_pred = jnp.minimum(t_insert, N - 1) >= h
+            src_alive = age + h <= jnp.minimum(t, N - 1)[:, None]
+            masks.append((alive & had_pred & src_alive).astype(jnp.float32))
+        return masks
+
+    def __call__(self, params, x, state: BandedState, key=None):
+        del key
+        nodes, t = state
+        B = x.shape[0]
+        N = self.graph_size
+        b_idx = jnp.arange(B)
+        p = jnp.mod(t, N)
+        nodes = nodes.at[b_idx, p].set(x.astype(nodes.dtype))
+
+        h_feats = nodes
+        if self.preprocessor is not None:
+            h_feats = self.preprocessor(params["preprocessor"], h_feats)
+
+        hop_masks = self._hop_masks(t)  # list of [B, N]
+        gnn_params = params["gnn"]
+        for ci, act in zip(self._conv_idx, self._acts):
+            conv: DenseGraphConv = self.gnn.layers[ci]
+            cp = gnn_params[ci]
+            agg = jnp.zeros_like(h_feats)
+            for h, m in zip(self.hops, hop_masks):
+                # in-edge of slot s from slot s-h  ->  shift sources down
+                agg = agg + jnp.roll(h_feats, h, axis=1) * m[..., None]
+            out = (jnp.einsum("bnf,fo->bno", agg, cp["lin_rel"]["kernel"])
+                   + jnp.einsum("bnf,fo->bno", h_feats,
+                                cp["lin_root"]["kernel"]))
+            if "bias" in cp["lin_rel"]:
+                out = out + cp["lin_rel"]["bias"]
+            if act == "tanh":
+                out = jnp.tanh(out)
+            elif act == "relu":
+                out = jnp.maximum(out, 0.0)
+            h_feats = out
+
+        mx = h_feats[b_idx, p]
+        return mx, BandedState(nodes, t + 1)
+
+    def scan(self, params, xs, state: BandedState, key=None):
+        del key
+
+        def step(carry, x):
+            out, new_state = self(params, x, carry)
+            return new_state, out
+
+        final_state, outs = jax.lax.scan(step, state,
+                                         jnp.swapaxes(xs, 0, 1))
+        return jnp.swapaxes(outs, 0, 1), final_state

@@ -1,0 +1,52 @@
+"""BandedRingGCM ↔ DenseGCM exact belief parity (temporal fast path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.models.banded_gcm import BandedRingGCM
+from gcm_tpu.models.dense_gcm import DenseGCM
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import MLP, Linear
+
+
+def run_pair(hops, B=3, N=6, F=5, T=21, obs=None, preprocessor=False, seed=0):
+    obs = obs or F
+    gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                    DenseGraphConv(F, F), jnp.tanh])
+    pre = MLP([Linear(obs, F)]) if preprocessor else None
+    dense = DenseGCM(gnn, preprocessor=pre, graph_size=N,
+                     edge_selectors=TemporalBackedge(list(hops)))
+    banded = BandedRingGCM(gnn, preprocessor=pre, hops=hops, graph_size=N)
+    params = dense.init(jax.random.PRNGKey(seed))
+    xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, obs))
+    outs_d, _ = dense.scan(params, xs, dense.initial_state(B, obs))
+    outs_b, _ = banded.scan(params, xs, banded.initial_state(B, obs))
+    return np.array(outs_d), np.array(outs_b)
+
+
+class TestBandedParity:
+    def test_single_hop(self):
+        d, b = run_pair((1,))
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_multi_hop(self):
+        d, b = run_pair((1, 3))
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_hop_larger_than_graph_boundary(self):
+        d, b = run_pair((5,), N=6, T=15)
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_with_preprocessor(self):
+        d, b = run_pair((1,), obs=3, preprocessor=True)
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_fill_boundary(self):
+        d, b = run_pair((1,), N=6, T=7)
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_deep_wrap(self):
+        d, b = run_pair((2,), N=4, T=30)
+        assert np.allclose(d, b, atol=1e-5)
