@@ -112,6 +112,27 @@ class GCMActorCritic:
                 cat_dim=self.cfg["positional_encoding_dim"],
                 feat_dim=self.cfg["gnn_input_size"],
             )
+        if self.cfg["core"] == "banded":
+            # temporal fast path: requires a deterministic forward
+            # TemporalBackedge selector and no aux/PE machinery
+            from gcm_tpu.edges.temporal import TemporalBackedge
+            from gcm_tpu.models.banded_gcm import BandedRingGCM
+
+            sel = self.cfg["edge_selectors"]
+            assert isinstance(sel, TemporalBackedge) and not sel.learned \
+                and sel.direction == "forward", (
+                    "core='banded' needs edge_selectors=TemporalBackedge("
+                    "hops, direction='forward')")
+            assert not (self.cfg["aux_edge_selectors"]
+                        or self.cfg["positional_encoding"]
+                        or self.cfg["pooled"] or self.cfg["edge_weights"]), (
+                "core='banded' supports only the plain temporal configuration")
+            return BandedRingGCM(
+                self._gnn(),
+                preprocessor=_build_preprocessor(self.input_dim, self.cfg),
+                hops=sel.hops,
+                graph_size=self.cfg["graph_size"],
+            )
         if self.cfg["core"] == "ring":
             from gcm_tpu.models.ring_gcm import RingDenseGCM
 

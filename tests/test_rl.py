@@ -138,3 +138,28 @@ class TestRingCoreWrapper:
         lr_, vr, _ = ring(params, obs, ring.initial_state(B))
         assert np.allclose(np.array(ld), np.array(lr_), atol=1e-5)
         assert np.allclose(np.array(vd), np.array(vr), atol=1e-5)
+
+
+class TestBandedCoreWrapper:
+    def test_banded_wrapper_matches_dense(self):
+        env = RecallEnv()
+        dense = make_policy(env)
+        banded = make_policy(env, core="banded")
+        dp = dense.init(jax.random.PRNGKey(0))
+        # transplant shared modules (banded has no edge_selectors params)
+        bp = {"core": {"gnn": dp["core"]["gnn"],
+                       "preprocessor": dp["core"]["preprocessor"]},
+              "logit": dp["logit"], "value": dp["value"]}
+        B, T = 2, env.horizon + 3
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        ld, vd, _ = dense(dp, obs, dense.initial_state(B))
+        lb, vb, _ = banded(bp, obs, banded.initial_state(B))
+        assert np.allclose(np.array(ld), np.array(lb), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vb), atol=1e-5)
+
+    def test_banded_rejects_bad_config(self):
+        env = RecallEnv()
+        with pytest.raises(AssertionError):
+            make_policy(env, core="banded",
+                        edge_selectors=TemporalBackedge([1],
+                                                        direction="both"))
