@@ -33,6 +33,7 @@ from gcm_tpu.utils.packing import pack_hidden, unpack_hidden
 from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEncoding
 from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
 from gcm_tpu.nn.module import MLP, LayerNorm, Linear
+from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
 from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
 
 __version__ = "0.1.0"
@@ -78,4 +79,6 @@ __all__ = [
     "GCNConv",
     "GraphConv",
     "SparseGNN",
+    "NavPoseGNN",
+    "NavRelPosConv",
 ]
