@@ -1,0 +1,119 @@
+"""PPO trainer with GAE over GCM actor-critic policies, fully jitted.
+
+Complements the A2C trainer (rl/a2c.py): clipped surrogate objective,
+generalized advantage estimation, multiple epochs of minibatched updates per
+rollout. Minibatches slice the batch axis; each policy evaluation replays the
+recurrent memory from the initial state (standard recurrent-PPO practice —
+the graph state is cheap to recompute under lax.scan).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gcm_tpu.rl.a2c import A2C
+
+
+def gae(rewards, values, dones, gamma, lam):
+    """rewards, values, dones: [B, T]. Bootstrap value 0 after the window
+    (episodes here end inside the window). Returns (advantages, returns)."""
+    B, T = rewards.shape
+    nonterm = 1.0 - dones.astype(rewards.dtype)
+    next_values = jnp.concatenate([values[:, 1:], jnp.zeros((B, 1))], axis=1)
+    deltas = rewards + gamma * next_values * nonterm - values
+
+    def scan_fn(carry, x):
+        delta, nt = x
+        carry = delta + gamma * lam * nt * carry
+        return carry, carry
+
+    dT = jnp.swapaxes(deltas, 0, 1)[::-1]
+    nT = jnp.swapaxes(nonterm, 0, 1)[::-1]
+    _, adv = jax.lax.scan(scan_fn, jnp.zeros(B), (dT, nT))
+    adv = jnp.swapaxes(adv[::-1], 0, 1)
+    return adv, adv + values
+
+
+class PPO(A2C):
+    def __init__(self, env, policy, gamma: float = 0.99, lam: float = 0.95,
+                 lr: float = 3e-3, clip_eps: float = 0.2,
+                 value_coef: float = 0.5, entropy_coef: float = 0.01,
+                 epochs: int = 4, num_minibatches: int = 2,
+                 rollout_len: int | None = None):
+        super().__init__(env, policy, gamma=gamma, lr=lr,
+                         value_coef=value_coef, entropy_coef=entropy_coef,
+                         rollout_len=rollout_len)
+        self.lam = lam
+        self.clip_eps = clip_eps
+        self.epochs = epochs
+        self.num_minibatches = num_minibatches
+
+    def _evaluate(self, params, traj_mb):
+        B = traj_mb["obs"].shape[0]
+        mem = self.policy.initial_state(B)
+        logits, values, _ = self.policy(params, traj_mb["obs"], mem,
+                                        prev_actions=traj_mb["prev_actions"])
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, traj_mb["actions"][..., None],
+                                   axis=-1)[..., 0]
+        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+        return logp, values, entropy
+
+    def ppo_loss(self, params, traj_mb):
+        logp, values, entropy = self._evaluate(params, traj_mb)
+        ratio = jnp.exp(logp - traj_mb["logp_old"])
+        adv = traj_mb["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        unclipped = ratio * adv
+        clipped = jnp.clip(ratio, 1 - self.clip_eps, 1 + self.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+        v_loss = jnp.mean((traj_mb["returns"] - values) ** 2)
+        ent = jnp.mean(entropy)
+        total = pg_loss + self.value_coef * v_loss - self.entropy_coef * ent
+        return total, {"pg": pg_loss, "v": v_loss, "entropy": ent}
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def update(self, params, opt_state, key, B: int):
+        k_collect, k_perm = jax.random.split(key)
+        traj = self.collect(params, k_collect, B)
+        logp_old, values, _ = self._evaluate(params, traj)
+        adv, returns = gae(traj["rewards"], values, traj["dones"],
+                           self.gamma, self.lam)
+        traj = {**traj,
+                "logp_old": jax.lax.stop_gradient(logp_old),
+                "adv": jax.lax.stop_gradient(adv),
+                "returns": jax.lax.stop_gradient(returns)}
+
+        mb = B // self.num_minibatches
+
+        def epoch(carry, ek):
+            params, opt_state = carry
+            perm = jax.random.permutation(ek, B)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                traj_mb = jax.tree_util.tree_map(lambda a: a[idx], traj)
+                (l, _), grads = jax.value_and_grad(
+                    self.ppo_loss, has_aux=True)(params, traj_mb)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(self.num_minibatches))
+            return (params, opt_state), jnp.mean(losses)
+
+        keys = jax.random.split(k_perm, self.epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), keys)
+        metrics = {
+            "loss": jnp.mean(losses),
+            "return": jnp.mean(jnp.sum(traj["rewards"], axis=1)),
+        }
+        return params, opt_state, metrics

@@ -163,3 +163,43 @@ class TestBandedCoreWrapper:
             make_policy(env, core="banded",
                         edge_selectors=TemporalBackedge([1],
                                                         direction="both"))
+
+
+class TestPPO:
+    def test_gae_matches_numpy(self):
+        from gcm_tpu.rl.ppo import gae
+
+        rng = np.random.default_rng(0)
+        B, T = 2, 6
+        r = rng.random((B, T)).astype(np.float32)
+        v = rng.random((B, T)).astype(np.float32)
+        d = np.zeros((B, T), bool)
+        d[:, 2] = True
+        d[:, 5] = True
+        gamma, lam = 0.9, 0.8
+        adv, ret = gae(jnp.asarray(r), jnp.asarray(v), jnp.asarray(d),
+                       gamma, lam)
+        want = np.zeros((B, T))
+        for b in range(B):
+            run = 0.0
+            for t in reversed(range(T)):
+                nonterm = 0.0 if d[b, t] else 1.0
+                nv = v[b, t + 1] if t + 1 < T else 0.0
+                delta = r[b, t] + gamma * nv * nonterm - v[b, t]
+                run = delta + gamma * lam * nonterm * run
+                want[b, t] = run
+        assert np.allclose(np.array(adv), want, atol=1e-5)
+        assert np.allclose(np.array(ret), want + v, atol=1e-5)
+
+    def test_ppo_learns_memory_task(self):
+        from gcm_tpu.rl.ppo import PPO
+
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+        pol = make_policy(env, gnn_input_size=16, gnn_output_size=16)
+        trainer = PPO(env, pol, lr=5e-3, entropy_coef=0.003, epochs=4,
+                      num_minibatches=2)
+        _, history = trainer.train(jax.random.PRNGKey(0), updates=80, B=32)
+        early = np.mean(history[:10])
+        late = np.mean(history[-10:])
+        assert late > max(0.62, early + 0.05), (
+            f"did not learn: early={early:.3f} late={late:.3f}")
