@@ -35,7 +35,10 @@ class BandedState(NamedTuple):
 
 class BandedRingGCM:
     def __init__(self, gnn: DenseGNN, preprocessor=None,
-                 hops: Sequence[int] = (1,), graph_size: int = 128):
+                 hops: Sequence[int] = (1,), graph_size: int = 128,
+                 direction: str = "forward"):
+        assert direction in ("forward", "backward", "both")
+        self.direction = direction
         assert isinstance(gnn, DenseGNN), "BandedRingGCM needs a DenseGNN"
         plan = gnn._plan_fusion() if gnn.fuse else None
         if plan is None:
@@ -99,8 +102,15 @@ class BandedRingGCM:
             cp = gnn_params[ci]
             agg = jnp.zeros_like(h_feats)
             for h, m in zip(self.hops, hop_masks):
-                # in-edge of slot s from slot s-h  ->  shift sources down
-                agg = agg + jnp.roll(h_feats, h, axis=1) * m[..., None]
+                if self.direction in ("forward", "both"):
+                    # in-edge of slot s from slot s-h -> shift sources down
+                    agg = agg + jnp.roll(h_feats, h, axis=1) * m[..., None]
+                if self.direction in ("backward", "both"):
+                    # the backward edge (sink s-h <- source s): slot s-h
+                    # aggregates from s, i.e. shift sources up and apply the
+                    # same (sink s) mask rolled to the s-h position
+                    m_b = jnp.roll(m, -h, axis=1)
+                    agg = agg + jnp.roll(h_feats, -h, axis=1) * m_b[..., None]
             out = (jnp.einsum("bnf,fo->bno", agg, cp["lin_rel"]["kernel"])
                    + jnp.einsum("bnf,fo->bno", h_feats,
                                 cp["lin_root"]["kernel"]))

@@ -119,10 +119,9 @@ class GCMActorCritic:
             from gcm_tpu.models.banded_gcm import BandedRingGCM
 
             sel = self.cfg["edge_selectors"]
-            assert isinstance(sel, TemporalBackedge) and not sel.learned \
-                and sel.direction == "forward", (
-                    "core='banded' needs edge_selectors=TemporalBackedge("
-                    "hops, direction='forward')")
+            assert isinstance(sel, TemporalBackedge) and not sel.learned, (
+                "core='banded' needs a deterministic TemporalBackedge "
+                "selector")
             assert not (self.cfg["aux_edge_selectors"]
                         or self.cfg["positional_encoding"]
                         or self.cfg["pooled"] or self.cfg["edge_weights"]), (
@@ -132,6 +131,7 @@ class GCMActorCritic:
                 preprocessor=_build_preprocessor(self.input_dim, self.cfg),
                 hops=sel.hops,
                 graph_size=self.cfg["graph_size"],
+                direction=sel.direction,
             )
         if self.cfg["core"] == "ring":
             from gcm_tpu.models.ring_gcm import RingDenseGCM

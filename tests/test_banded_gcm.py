@@ -50,3 +50,30 @@ class TestBandedParity:
     def test_deep_wrap(self):
         d, b = run_pair((2,), N=4, T=30)
         assert np.allclose(d, b, atol=1e-5)
+
+
+class TestBandedDirections:
+    def _pair(self, direction, hops=(1,), B=2, N=6, F=4, T=17):
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        dense = DenseGCM(gnn, graph_size=N,
+                         edge_selectors=TemporalBackedge(list(hops),
+                                                         direction=direction))
+        banded = BandedRingGCM(gnn, hops=hops, graph_size=N,
+                               direction=direction)
+        params = dense.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+        b, _ = banded.scan(params, xs, banded.initial_state(B, F))
+        return np.array(d), np.array(b)
+
+    def test_both(self):
+        d, b = self._pair("both")
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_backward(self):
+        d, b = self._pair("backward")
+        assert np.allclose(d, b, atol=1e-5)
+
+    def test_both_multihop_deep_wrap(self):
+        d, b = self._pair("both", hops=(1, 2), N=5, T=23)
+        assert np.allclose(d, b, atol=1e-5)

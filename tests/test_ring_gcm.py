@@ -127,3 +127,9 @@ class TestRingGeneralization:
         outs_d, _ = dense.scan(params, xs, dense.initial_state(B, F))
         outs_r, _ = ring.scan(params, xs, ring.initial_state(B, F))
         assert np.allclose(np.array(outs_d), np.array(outs_r), atol=1e-4)
+
+
+class TestRingLearnedDistance:
+    def test_learned_euclidean_parity(self):
+        d, r = run_pair(lambda: EuclideanEdge(max_distance=2.0, learned=True))
+        assert np.allclose(d, r, atol=1e-5)

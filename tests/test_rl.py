@@ -161,8 +161,7 @@ class TestBandedCoreWrapper:
         env = RecallEnv()
         with pytest.raises(AssertionError):
             make_policy(env, core="banded",
-                        edge_selectors=TemporalBackedge([1],
-                                                        direction="both"))
+                        edge_selectors=TemporalBackedge([1], learned=True))
 
 
 class TestPPO:

@@ -476,3 +476,24 @@ class TestCodecProperties:
             assert set(got) == set(want), trial
             for k in want:
                 assert abs(got[k] - want[k]) < 1e-5, (trial, k)
+
+
+class TestSparsePositionalEncoder:
+    def test_step_matches_whole_window_with_pe(self):
+        """PE in the sparse core is applied to the GNN input every call
+        (reference sparse_gcm.py:148-149); step-by-step must equal
+        whole-window."""
+        from gcm_tpu.models.positional import PositionalEncoding
+
+        F, B, N, T_len = 6, 2, 12, 7
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+        model = SparseGCM(gnn, graph_size=N, max_edges=64,
+                          edge_selectors=TemporalEdge([1]),
+                          positional_encoder=PositionalEncoding(
+                              max_len=N, mode="add", feat_dim=F))
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_len, F))
+        taus = jnp.full((B,), T_len, jnp.int32)
+        whole, _ = model(params, xs, taus, model.initial_state(B, F))
+        step, _ = model.scan(params, xs, model.initial_state(B, F))
+        assert np.allclose(np.array(whole), np.array(step), atol=1e-5)
