@@ -21,6 +21,64 @@ class RecallEnvState(NamedTuple):
     t: jax.Array       # [B] int32
 
 
+class TMazeState(NamedTuple):
+    goal: jax.Array  # [B] int32: 0 = left, 1 = right
+    pos: jax.Array   # [B] int32 position along the corridor
+
+
+class TMazeEnv:
+    """Classic T-maze memory POMDP (Bakker 2001): the goal side is shown only
+    at the corridor start; the agent walks the corridor and must turn the
+    remembered way at the junction. Reward 4 for the correct turn, -0.1 for
+    the wrong one (standard shaping), -0.1 for bumping.
+
+    Actions: 0 = forward, 1 = left, 2 = right.
+    Obs: [goal_left, goal_right, in_corridor, at_junction].
+    """
+
+    def __init__(self, corridor_length: int = 6):
+        self.corridor_length = corridor_length
+        self.horizon = corridor_length + 1
+        self.obs_dim = 4
+        self.num_actions = 3
+
+    def reset(self, key, B: int):
+        goal = jax.random.randint(key, (B,), 0, 2)
+        state = TMazeState(goal=goal, pos=jnp.zeros((B,), jnp.int32))
+        return self._obs(state), state
+
+    def _obs(self, state):
+        at_start = state.pos == 0
+        at_junction = state.pos >= self.corridor_length
+        goal_l = (at_start & (state.goal == 0)).astype(jnp.float32)
+        goal_r = (at_start & (state.goal == 1)).astype(jnp.float32)
+        corridor = (~at_junction).astype(jnp.float32)
+        junction = at_junction.astype(jnp.float32)
+        return jnp.stack([goal_l, goal_r, corridor, junction], axis=-1)
+
+    def step(self, state: TMazeState, action, key):
+        at_junction = state.pos >= self.corridor_length
+        forward = action == 0
+        turn = jnp.where(action == 1, 0, jnp.where(action == 2, 1, -1))
+        correct = at_junction & (turn == state.goal)
+        wrong_turn = at_junction & (turn >= 0) & (turn != state.goal)
+        reward = jnp.where(correct, 4.0,
+                           jnp.where(wrong_turn, -0.1,
+                                     jnp.where(forward & ~at_junction, 0.0,
+                                               -0.1)))
+        done = at_junction & (turn >= 0)
+        # timeout at horizon
+        done = done | (state.pos >= self.horizon)
+        new_pos = jnp.where(done, 0,
+                            jnp.where(forward & ~at_junction,
+                                      state.pos + 1, state.pos))
+        new_goal = jnp.where(done,
+                             jax.random.randint(key, state.goal.shape, 0, 2),
+                             state.goal)
+        new_state = TMazeState(goal=new_goal, pos=new_pos)
+        return self._obs(new_state), reward, done, new_state
+
+
 class RecallEnv:
     """Episode length `horizon`; obs = [one-hot cue (t=0 only) ‖ noise ‖
     query flag]. Reward 1 at the last step iff action == cue."""

@@ -202,3 +202,46 @@ class TestPPO:
         late = np.mean(history[-10:])
         assert late > max(0.62, early + 0.05), (
             f"did not learn: early={early:.3f} late={late:.3f}")
+
+
+class TestTMaze:
+    def test_env_mechanics(self):
+        from gcm_tpu.rl.env import TMazeEnv
+
+        env = TMazeEnv(corridor_length=3)
+        obs, st = env.reset(jax.random.PRNGKey(0), B=4)
+        o = np.array(obs)
+        # at start: goal cue visible, corridor flag on
+        assert ((o[:, 0] + o[:, 1]) == 1).all() and (o[:, 2] == 1).all()
+        # walk forward to the junction
+        for _ in range(3):
+            obs, r, d, st = env.step(st, jnp.zeros((4,), jnp.int32),
+                                     jax.random.PRNGKey(1))
+            assert not np.array(d).any()
+        assert (np.array(obs)[:, 3] == 1).all()  # at junction
+        # correct turn yields +4 and done
+        goal = np.array(st.goal)
+        action = jnp.asarray(np.where(goal == 0, 1, 2))
+        obs, r, d, st2 = env.step(st, action, jax.random.PRNGKey(2))
+        assert np.allclose(np.array(r), 4.0)
+        assert np.array(d).all()
+        # wrong turn penalized
+        wrong = jnp.asarray(np.where(goal == 0, 2, 1))
+        _, r2, d2, _ = env.step(st, wrong, jax.random.PRNGKey(3))
+        assert np.allclose(np.array(r2), -0.1)
+        assert np.array(d2).all()
+
+    def test_a2c_learns_tmaze(self):
+        from gcm_tpu.rl.env import TMazeEnv
+
+        env = TMazeEnv(corridor_length=3)
+        pol = make_policy(env, gnn_input_size=16, gnn_output_size=16)
+        trainer = A2C(env, pol, lr=8e-3, entropy_coef=0.01,
+                      rollout_len=env.horizon)
+        _, history = trainer.train(jax.random.PRNGKey(0), updates=300, B=32)
+        early = np.mean(history[:10])
+        late = np.mean(history[-10:])
+        # a random policy rarely even reaches the junction; remembering the
+        # cue and navigating pushes returns toward +4
+        assert late > max(1.5, early + 0.5), (
+            f"did not learn t-maze: early={early:.2f} late={late:.2f}")
