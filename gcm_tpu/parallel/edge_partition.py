@@ -100,3 +100,48 @@ def bucket_edges_by_sink(edges: jax.Array, weights: jax.Array, n_shards: int,
         out_w.append(w)
     return (jnp.concatenate(out_e, axis=-1).astype(edges.dtype),
             jnp.concatenate(out_w, axis=-1))
+
+
+class PartitionedSparseGNN:
+    """SparseGNN-compatible stack whose GraphConv aggregations run through
+    the edge-partitioned SpMM on a mesh: each device owns an edge shard,
+    aggregates locally, and a psum over ICI combines partials. Drop-in for
+    SparseGNN inside SparseGCM for graphs whose edge lists exceed one chip.
+
+    The wrapped layers must be GraphConv('add') / activation callables.
+    """
+
+    def __init__(self, layers, mesh: Mesh, axis: str = "dp"):
+        from gcm_tpu.nn.sparse_conv import GraphConv
+
+        for layer in layers:
+            if hasattr(layer, "init"):
+                assert isinstance(layer, GraphConv) and layer.aggr == "add", (
+                    "PartitionedSparseGNN supports GraphConv('add') layers")
+        self.layers = layers
+        self.mesh = mesh
+        self.axis = axis
+        self._spmm = spmm_edge_partitioned(mesh, axis=axis)
+
+    def init(self, key):
+        params = []
+        for layer in self.layers:
+            if hasattr(layer, "init"):
+                key, sub = jax.random.split(key)
+                params.append(layer.init(sub))
+            else:
+                params.append({})
+        return params
+
+    def __call__(self, params, x, edges, weights=None):
+        if weights is None:
+            valid = (edges[:, 0, :] >= 0) & (edges[:, 1, :] >= 0)
+            weights = valid.astype(x.dtype)
+        for layer, p in zip(self.layers, params):
+            if hasattr(layer, "init"):
+                agg = self._spmm(x, edges, weights)
+                x = (layer.lin_rel(p["lin_rel"], agg)
+                     + layer.lin_root(p["lin_root"], x))
+            else:
+                x = layer(x)
+        return x

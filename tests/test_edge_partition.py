@@ -66,3 +66,30 @@ class TestNodePartition:
         f = jax.jit(spmm_node_partitioned(mesh, axis="dp"))
         got = f(x, be, bw)
         assert np.allclose(np.array(got), np.array(want), atol=1e-5)
+
+
+class TestPartitionedSparseGNN:
+    def test_matches_unpartitioned_inside_sparse_gcm(self):
+        """A SparseGCM whose GNN aggregates through the edge-partitioned SpMM
+        must match the single-device model exactly."""
+        import jax.numpy as jnp
+
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+        from gcm_tpu.models.sparse_gcm import SparseGCM
+        from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+        from gcm_tpu.parallel.edge_partition import PartitionedSparseGNN
+
+        F, B, N, T = 6, 4, 12, 6
+        mesh = make_mesh(dp=8, tp=1)
+        layers = [GraphConv(F, F), jnp.tanh, GraphConv(F, F), jnp.tanh]
+        plain = SparseGCM(SparseGNN(layers), graph_size=N, max_edges=64,
+                          edge_selectors=TemporalEdge([1]))
+        part = SparseGCM(PartitionedSparseGNN(layers, mesh),
+                         graph_size=N, max_edges=64,
+                         edge_selectors=TemporalEdge([1]))
+        params = plain.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        taus = jnp.full((B,), T, jnp.int32)
+        out_a, _ = plain(params, xs, taus, plain.initial_state(B, F))
+        out_b, _ = part(params, xs, taus, part.initial_state(B, F))
+        assert np.allclose(np.array(out_a), np.array(out_b), atol=1e-5)
