@@ -25,7 +25,7 @@ from gcm_tpu.rl.wrappers import GCMActorCritic, SparseGCMActorCritic
 from gcm_tpu.train.checkpoint import make_manager, restore, save
 
 
-def build_policy(env, sparse: bool):
+def build_policy(env, sparse: bool, core: str = "dense"):
     cfg = dict(
         graph_size=env.horizon + 1,
         gnn_input_size=32,
@@ -38,7 +38,8 @@ def build_policy(env, sparse: bool):
                                     edge_selectors=TemporalEdge([1]),
                                     max_edges=64, **cfg)
     return GCMActorCritic(env.obs_dim, env.num_actions, env.num_actions,
-                          edge_selectors=TemporalBackedge([1]), **cfg)
+                          edge_selectors=TemporalBackedge([1]), core=core,
+                          **cfg)
 
 
 def evaluate(env, policy, params, key, B=64):
@@ -61,15 +62,24 @@ def evaluate(env, policy, params, key, B=64):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sparse", action="store_true")
+    ap.add_argument("--core", default="dense",
+                    choices=["dense", "ring", "banded"])
+    ap.add_argument("--ppo", action="store_true")
     ap.add_argument("--updates", type=int, default=400)
     ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args()
 
     env = RecallEnv(num_symbols=2, horizon=6, noise_dim=4)
-    policy = build_policy(env, args.sparse)
-    trainer = A2C(env, policy, lr=8e-3, entropy_coef=0.003)
+    policy = build_policy(env, args.sparse, core=args.core)
+    if args.ppo:
+        from gcm_tpu.rl.ppo import PPO
 
-    print(f"training {'Sparse' if args.sparse else 'Dense'}GCM policy "
+        trainer = PPO(env, policy, lr=5e-3, entropy_coef=0.003)
+    else:
+        trainer = A2C(env, policy, lr=8e-3, entropy_coef=0.003)
+
+    print(f"training {'Sparse' if args.sparse else args.core}-core GCM "
+          f"({'PPO' if args.ppo else 'A2C'}) policy "
           f"(memoryless ceiling = {1 / env.num_symbols:.2f} return)...")
     params, history = trainer.train(jax.random.PRNGKey(0),
                                     updates=args.updates, B=32, log_every=50)
