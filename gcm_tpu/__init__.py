@@ -34,6 +34,10 @@ from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEnco
 from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
 from gcm_tpu.nn.module import MLP, LayerNorm, Linear
 from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
+from gcm_tpu.rl.a2c import A2C
+from gcm_tpu.rl.env import RecallEnv, TMazeEnv
+from gcm_tpu.rl.ppo import PPO
+from gcm_tpu.rl.wrappers import GCMActorCritic, SparseGCMActorCritic
 from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
 
 __version__ = "0.1.0"
@@ -81,4 +85,10 @@ __all__ = [
     "SparseGNN",
     "NavPoseGNN",
     "NavRelPosConv",
+    "A2C",
+    "PPO",
+    "RecallEnv",
+    "TMazeEnv",
+    "GCMActorCritic",
+    "SparseGCMActorCritic",
 ]
