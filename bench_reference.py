@@ -27,12 +27,13 @@ class DenseGraphConv(torch.nn.Module):
 
 
 class RefDenseGCM(torch.nn.Module):
-    """Reference DenseGCM per-step semantics (gcm.py:213-321), temporal
-    backedge hop 1."""
+    """Reference DenseGCM per-step semantics (gcm.py:213-321); edge selector
+    is temporal backedge hop 1 or dense-past (edge_selectors/dense.py)."""
 
-    def __init__(self, obs, hidden, graph_size):
+    def __init__(self, obs, hidden, graph_size, selector="temporal"):
+        self.selector = selector
         super().__init__()
-        self.pre = torch.nn.Linear(obs, hidden)
+        self.pre = torch.nn.Linear(obs, hidden)  # noqa: E501
         self.conv1 = DenseGraphConv(hidden, hidden)
         self.conv2 = DenseGraphConv(hidden, hidden)
         self.N = graph_size
@@ -56,9 +57,14 @@ class RefDenseGCM(torch.nn.Module):
         nodes = nodes.clone()
         nodes[B_idx, num_nodes] = x
         adj = adj.clone()
-        # TemporalBackedge([1])
-        valid = (num_nodes >= 1).nonzero().squeeze(-1)
-        adj[valid, num_nodes[valid], num_nodes[valid] - 1] = 1
+        if self.selector == "temporal":
+            valid = (num_nodes >= 1).nonzero().squeeze(-1)
+            adj[valid, num_nodes[valid], num_nodes[valid] - 1] = 1
+        else:  # dense-past (edge_selectors/dense.py:16-21)
+            for b in range(x.shape[0]):
+                i = int(num_nodes[b])
+                adj[b, i, : i + 1] = 1
+                adj[b, :i, i] = 1
         h = self.pre(nodes)
         h = torch.tanh(self.conv1(h, adj))
         h = torch.tanh(self.conv2(h, adj))
@@ -66,9 +72,32 @@ class RefDenseGCM(torch.nn.Module):
         return mx, (nodes, adj, num_nodes + 1)
 
 
-def run(B=32, obs=8, hidden=32, N=128, T=128, backward=False, repeats=3):
+def run_lstm(B=32, obs=8, hidden=32, T=128, backward=False, repeats=3):
+    """LSTM comparator (reference tests/test_speed.py:22-40)."""
     torch.manual_seed(0)
-    model = RefDenseGCM(obs, hidden, N)
+    pre = torch.nn.Linear(obs, hidden)
+    lstm = torch.nn.LSTM(hidden, hidden, batch_first=True)
+    xs = torch.randn(B, T, obs)
+
+    def rollout():
+        out, _ = lstm(pre(xs))
+        return out
+
+    rollout()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = rollout()
+        if backward:
+            out.pow(2).mean().backward()
+        best = min(best, time.perf_counter() - t0)
+    return B * T / best
+
+
+def run(B=32, obs=8, hidden=32, N=128, T=128, backward=False, repeats=3,
+        selector="temporal"):
+    torch.manual_seed(0)
+    model = RefDenseGCM(obs, hidden, N, selector=selector)
     xs = torch.randn(T, B, obs)
 
     def rollout():
@@ -98,9 +127,14 @@ def run(B=32, obs=8, hidden=32, N=128, T=128, backward=False, repeats=3):
 if __name__ == "__main__":
     fwd = run(backward=False)
     fwd_bwd = run(backward=True)
+    dense_edge = run(backward=True, selector="dense", repeats=2)
+    lstm = run_lstm(backward=True)
     print(json.dumps({
         "reference_dense_gcm_fwd_timesteps_per_s": round(fwd),
         "reference_dense_gcm_fwd_bwd_timesteps_per_s": round(fwd_bwd),
-        "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
+        "reference_dense_gcm_denseedge_fwd_bwd_timesteps_per_s": round(
+            dense_edge),
+        "reference_lstm_fwd_bwd_timesteps_per_s": round(lstm),
+        "config": "B=32 obs=8 hidden=32 graph=128 T=128",
         "hardware": "CPU (torch, reference-equivalent reimplementation)",
     }))

@@ -245,3 +245,27 @@ class TestTMaze:
         # cue and navigating pushes returns toward +4
         assert late > max(1.5, early + 0.5), (
             f"did not learn t-maze: early={early:.2f} late={late:.2f}")
+
+
+class TestWrapperPEConfig:
+    def test_positional_encoding_add_config(self):
+        env = RecallEnv()
+        pol = make_policy(env, positional_encoding="add",
+                          aux_edge_selectors=None)
+        params = pol.init(jax.random.PRNGKey(0))
+        obs = jnp.ones((2, 4, env.obs_dim))
+        logits, values, _ = pol(params, obs, pol.initial_state(2))
+        assert np.isfinite(np.array(logits)).all()
+
+    def test_positional_encoding_cat_with_aux(self):
+        from gcm_tpu.edges.learned import LearnedEdge
+
+        env = RecallEnv()
+        pol = make_policy(
+            env, positional_encoding="cat", positional_encoding_dim=4,
+            aux_edge_selectors=LearnedEdge(input_size=16,
+                                           deterministic=True))
+        params = pol.init(jax.random.PRNGKey(0))
+        obs = jnp.ones((2, 4, env.obs_dim))
+        logits, values, _ = pol(params, obs, pol.initial_state(2))
+        assert np.isfinite(np.array(logits)).all()
