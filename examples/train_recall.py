@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from gcm_tpu.edges.sparse_temporal import TemporalEdge
 from gcm_tpu.edges.temporal import TemporalBackedge
 from gcm_tpu.rl.a2c import A2C
-from gcm_tpu.rl.env import RecallEnv
+from gcm_tpu.rl.env import RecallEnv, TMazeEnv
 from gcm_tpu.rl.wrappers import GCMActorCritic, SparseGCMActorCritic
 from gcm_tpu.train.checkpoint import make_manager, restore, save
 
@@ -65,11 +65,15 @@ def main():
     ap.add_argument("--core", default="dense",
                     choices=["dense", "ring", "banded"])
     ap.add_argument("--ppo", action="store_true")
+    ap.add_argument("--env", default="recall", choices=["recall", "tmaze"])
     ap.add_argument("--updates", type=int, default=400)
     ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args()
 
-    env = RecallEnv(num_symbols=2, horizon=6, noise_dim=4)
+    if args.env == "tmaze":
+        env = TMazeEnv(corridor_length=4)
+    else:
+        env = RecallEnv(num_symbols=2, horizon=6, noise_dim=4)
     policy = build_policy(env, args.sparse, core=args.core)
     if args.ppo:
         from gcm_tpu.rl.ppo import PPO
@@ -78,9 +82,11 @@ def main():
     else:
         trainer = A2C(env, policy, lr=8e-3, entropy_coef=0.003)
 
+    ceiling = (f"memoryless ceiling = {1 / env.num_symbols:.2f} return"
+               if args.env == "recall" else "optimal return = +4")
     print(f"training {'Sparse' if args.sparse else args.core}-core GCM "
-          f"({'PPO' if args.ppo else 'A2C'}) policy "
-          f"(memoryless ceiling = {1 / env.num_symbols:.2f} return)...")
+          f"({'PPO' if args.ppo else 'A2C'}) policy on {args.env} "
+          f"({ceiling})...")
     params, history = trainer.train(jax.random.PRNGKey(0),
                                     updates=args.updates, B=32, log_every=50)
     print(f"final training return (avg last 10): "
