@@ -77,3 +77,22 @@ class TestBandedDirections:
     def test_both_multihop_deep_wrap(self):
         d, b = self._pair("both", hops=(1, 2), N=5, T=23)
         assert np.allclose(d, b, atol=1e-5)
+
+
+class TestBandedRemat:
+    def test_remat_scan_matches_plain(self):
+        gnn = DenseGNN([DenseGraphConv(4, 4), jnp.tanh])
+        banded = BandedRingGCM(gnn, hops=(1,), graph_size=6)
+        params = banded.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 4))
+
+        def loss(p, remat):
+            outs, _ = banded.scan(p, xs, banded.initial_state(2, 4),
+                                  remat=remat)
+            return jnp.mean(outs ** 2)
+
+        g_plain = jax.grad(lambda p: loss(p, False))(params)
+        g_remat = jax.grad(lambda p: loss(p, True))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                        jax.tree_util.tree_leaves(g_remat)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-6)
