@@ -97,7 +97,7 @@ class LearnedEdge:
             return jnp.clip(params["tau"][0], *self.temp_bounds)
         return jnp.asarray(self.softmax_temp, jnp.float32)
 
-    def __call__(self, params, nodes, T, taus, t, key=None):
+    def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         B, N, F = nodes.shape
         i = jnp.arange(t)[None, :]  # new-node offset
         sink = T[:, None] + i  # [B, t]
@@ -109,6 +109,10 @@ class LearnedEdge:
         if self.window is not None:
             # reference windows sources to >= T - window (util.py:252-259)
             cand = cand & (j >= jnp.maximum(T[:, None, None] - self.window, 0))
+        if seg_mask is not None:
+            # episode-aware replay: candidates restricted to the sink's own
+            # episode BEFORE the softmax, so scores match a fresh graph
+            cand = cand & seg_mask
 
         sink_feats = jnp.take_along_axis(
             nodes, jnp.clip(sink, 0, N - 1)[..., None], axis=1

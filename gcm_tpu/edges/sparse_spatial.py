@@ -53,10 +53,12 @@ class SpatialRadiusEdge:
         del key
         return {}
 
-    def __call__(self, params, nodes, T, taus, t, key=None):
+    def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         del params, key
         B, N, _ = nodes.shape
         cand = _causal_grid_mask(T, taus, t, N)
+        if seg_mask is not None:
+            cand = cand & seg_mask
         dist = _pos_dist_grid(nodes, T, taus, t, self.position_slice)
         grid = (cand & (dist < self.radius)).astype(nodes.dtype)
         return grid, {}
@@ -74,10 +76,14 @@ class SpatialKNNEdge:
         del key
         return {}
 
-    def __call__(self, params, nodes, T, taus, t, key=None):
+    def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         del params, key
         B, N, _ = nodes.shape
         cand = _causal_grid_mask(T, taus, t, N)
+        if seg_mask is not None:
+            # kNN is taken among same-episode candidates, matching a fresh
+            # graph exactly (post-masking a kNN grid would not)
+            cand = cand & seg_mask
         dist = _pos_dist_grid(nodes, T, taus, t, self.position_slice)
         big = jnp.finfo(dist.dtype).max
         dm = jnp.where(cand, dist, big)
@@ -105,7 +111,7 @@ class SparseEdgeChain:
             params.append(s.init(sub))
         return params
 
-    def __call__(self, params, nodes, T, taus, t, key=None):
+    def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         import jax
 
         grid = None
@@ -114,7 +120,7 @@ class SparseEdgeChain:
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
-            g, a = s(p, nodes, T, taus, t, key=sub)
+            g, a = s(p, nodes, T, taus, t, key=sub, seg_mask=seg_mask)
             grid = g if grid is None else grid + g
             for k, v in a.items():
                 aux[f"{idx}/{k}"] = v

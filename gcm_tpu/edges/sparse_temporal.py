@@ -33,7 +33,7 @@ class TemporalEdge:
         del key
         return {}
 
-    def __call__(self, params, nodes, T, taus, t, key=None):
+    def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         del params, key
         B, N, _ = nodes.shape
         i = jnp.arange(t)[None, :]  # [1, t]
@@ -46,4 +46,7 @@ class TemporalEdge:
             ok = new_valid & (source >= 0) & (sink > 0)
             onehot = (src_iota == source[..., None]) & ok[..., None]
             grid = jnp.maximum(grid, onehot.astype(nodes.dtype))
+        if seg_mask is not None:
+            # episode-aware replay: drop edges that cross episode boundaries
+            grid = grid * seg_mask.astype(grid.dtype)
         return grid, {}

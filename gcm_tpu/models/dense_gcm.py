@@ -28,7 +28,41 @@ from gcm_tpu.core.graph_state import (
     dense_initial_state,
     dense_insert,
     dense_wrap_overflow,
+    reset_where,
 )
+
+
+def _scan_with_resets(core, params, xs, state, key=None, dones=None):
+    """Shared lax.scan recurrence over [B, T, F] with optional per-step
+    episode-boundary resets (dones [B, T]); used by every stepwise core."""
+    T = xs.shape[1]
+    keys = None if key is None else jax.random.split(key, T)
+    xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
+    dones_t = None if dones is None else jnp.swapaxes(dones, 0, 1)
+
+    def step(carry, inp):
+        x, k, d = inp
+        out, new_state = core(params, x, carry, key=k)
+        if d is not None:
+            new_state = reset_where(new_state, d)
+        return new_state, out
+
+    # lax.scan can't carry None leaves in xs; build the per-case tuple
+    if keys is None and dones_t is None:
+        final_state, outs = jax.lax.scan(
+            lambda c, x: step(c, (x, None, None)), state, xs_t)
+    elif keys is None:
+        final_state, outs = jax.lax.scan(
+            lambda c, inp: step(c, (inp[0], None, inp[1])), state,
+            (xs_t, dones_t))
+    elif dones_t is None:
+        final_state, outs = jax.lax.scan(
+            lambda c, inp: step(c, (inp[0], inp[1], None)), state,
+            (xs_t, keys))
+    else:
+        final_state, outs = jax.lax.scan(
+            lambda c, inp: step(c, inp), state, (xs_t, keys, dones_t))
+    return jnp.swapaxes(outs, 0, 1), final_state
 
 
 class DenseGCM:
@@ -124,29 +158,18 @@ class DenseGCM:
         return mx, DenseGraphState(nodes, adj, weights, num_nodes + 1)
 
     # -- trajectory --------------------------------------------------------
-    def scan(self, params, xs, state: DenseGraphState, key=None):
+    def scan(self, params, xs, state: DenseGraphState, key=None, dones=None):
         """Run the recurrence over a whole trajectory with lax.scan.
 
         xs: [B, T, F] (time axis scanned). Returns (beliefs [B, T, F_out],
         final state). The per-step Python loop of the reference RL adapter
         (ray_gcm.py:200-202) compiled into a single XLA while loop.
+
+        dones: optional [B, T] episode terminations. When given, the memory of
+        batch b is wiped AFTER the step where dones[b, t] is True — the same
+        reset a rollout collector applies at episode boundaries, so
+        training-time replay reproduces collect-time beliefs exactly (the
+        rllib seq_lens semantics of the reference adapter, ray_gcm.py:188-202
+        / ray_sparse_gcm.py:195-200).
         """
-        T = xs.shape[1]
-        if key is None:
-            keys = None
-        else:
-            keys = jax.random.split(key, T)
-
-        def step(carry, inp):
-            if keys is None:
-                x = inp
-                k = None
-            else:
-                x, k = inp
-            out, new_state = self(params, x, carry, key=k)
-            return new_state, out
-
-        xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
-        inputs = xs_t if keys is None else (xs_t, keys)
-        final_state, outs = jax.lax.scan(step, state, inputs)
-        return jnp.swapaxes(outs, 0, 1), final_state
+        return _scan_with_resets(self, params, xs, state, key, dones)

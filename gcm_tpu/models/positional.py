@@ -54,19 +54,26 @@ class PositionalEncoding:
             ).init(key)
         return params
 
-    def __call__(self, params, x, num_nodes):
+    def __call__(self, params, x, num_nodes, positions=None):
+        """positions: optional [B, N] per-row PE index overriding the default
+        (row index). Used for episode-aware replay, where a node's position is
+        its index WITHIN its episode, not its buffer row."""
         B, N, F = x.shape
-        pe = params["pe"][:N, :F]
         valid = (jnp.arange(N)[None, :] <= num_nodes[:, None])[..., None]
+        table = params["pe"]
+
+        def rows(width):
+            if positions is None:
+                return jnp.broadcast_to(table[None, :N, :width],
+                                        (B, N, width))
+            safe = jnp.clip(positions, 0, table.shape[0] - 1)
+            return table[safe, :width]
+
         if self.mode == "add":
-            return jnp.where(valid, x + pe[None, :, :], x)
+            return jnp.where(valid, x + rows(F), x)
         reproj = Linear(F, F - self.cat_dim)
         x_re = reproj(params["reproject"], x)  # [B, N, F - cat_dim]
-        cat = jnp.concatenate(
-            [jnp.broadcast_to(params["pe"][:N, : self.cat_dim], (B, N, self.cat_dim)),
-             x_re],
-            axis=-1,
-        )
+        cat = jnp.concatenate([rows(self.cat_dim), x_re], axis=-1)
         return jnp.where(valid, cat, x)
 
 

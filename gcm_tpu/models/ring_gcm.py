@@ -268,19 +268,9 @@ class RingDenseGCM:
         mx = node_feats if self.pooled else node_feats[b_idx, p]
         return mx, RingGraphState(nodes, adj, weights, t + 1)
 
-    def scan(self, params, xs, state: RingGraphState, key=None):
-        T = xs.shape[1]
-        keys = None if key is None else jax.random.split(key, T)
+    def scan(self, params, xs, state: RingGraphState, key=None, dones=None):
+        """dones: optional [B, T] episode terminations — wipes the memory of
+        finished episodes after each step (see DenseGCM.scan)."""
+        from gcm_tpu.models.dense_gcm import _scan_with_resets
 
-        def step(carry, inp):
-            if keys is None:
-                x, k = inp, None
-            else:
-                x, k = inp
-            out, new_state = self(params, x, carry, key=k)
-            return new_state, out
-
-        xs_t = jnp.swapaxes(xs, 0, 1)
-        inputs = xs_t if keys is None else (xs_t, keys)
-        final_state, outs = jax.lax.scan(step, state, inputs)
-        return jnp.swapaxes(outs, 0, 1), final_state
+        return _scan_with_resets(self, params, xs, state, key, dones)

@@ -19,10 +19,14 @@ Weight normalization: new-edge soft values v become v / stop_grad(v) = 1.0
 with live gradient (reference sparse_gcm.py:154-164).
 
 max_hops: the reference extracts the k-hop subgraph around the output nodes
-purely as a compute-saving device (sparse_gcm.py:176-199) — outputs at the new
+(sparse_gcm.py:176-199). When max_hops >= GNN depth the outputs at the new
 nodes are mathematically identical with or without it (pinned by
-tests/test_sparse_gcm.py:349-540). Under XLA's static shapes a gather-smaller-
-subgraph saves nothing, so max_hops is accepted and validated but is a no-op.
+tests/test_sparse_gcm.py:349-540); when max_hops < depth it TRUNCATES the
+receptive field. Under XLA's static shapes subgraph extraction becomes a
+fixed-iteration reachability mask: max_hops rounds of sink→source
+propagation from the output nodes mark the k-hop node set, and the GNN runs
+with edges outside that set sentinel-masked — semantically identical to
+k_hop_subgraph, including the truncation regime (tests/test_max_hops.py).
 
 Overflow: the reference raises (sparse_gcm.py:120-121). Inside jit we cannot
 raise; writes beyond capacity are dropped (trash row) — call
@@ -84,9 +88,21 @@ class SparseGCM:
 
     # -- forward -----------------------------------------------------------
     def __call__(self, params, x, taus, state: SparseGraphState, key=None,
-                 return_aux: bool = False):
+                 return_aux: bool = False, dones=None):
         """x: [B, t, F] zero-padded window, taus: [B] valid lengths.
-        Returns (mx [B, t, F_out] zero-padded, new state[, aux])."""
+        Returns (mx [B, t, F_out] zero-padded, new state[, aux]).
+
+        dones: optional [B, t] episode terminations within the window. When
+        given, selector candidates are restricted to same-episode (sink,
+        source) pairs and positional encoding uses within-episode positions,
+        so whole-window replay of a rollout with mid-window terminations
+        reproduces collect-time beliefs exactly (the reference's seq_lens /
+        T==0-re-init semantics, ray_sparse_gcm.py:195-200). Graph convolution
+        is permutation-equivariant, so leaving earlier-episode nodes in the
+        buffer (disconnected) does not perturb the new nodes' outputs.
+        Pre-existing rows (< T) are treated as the episode live at window
+        start; the window must fit in graph_size as usual.
+        """
         if self.validate:
             from gcm_tpu.utils.validation import check_sparse_inputs
 
@@ -104,8 +120,36 @@ class SparseGCM:
         nodes = rows_set(nodes, rows, x, new_mask)
         dirty_nodes = nodes
 
+        seg_mask = None
+        positions = None
+        if dones is not None:
+            d = dones.astype(jnp.int32)
+            # segment id of each new node = number of dones strictly before it
+            seg_new = jnp.cumsum(d, axis=1) - d  # [B, t]
+            # per-row segment ids: rows < T carry segment 0 (the episode live
+            # at window start); new rows carry seg_new
+            rowseg = rows_set(jnp.zeros((B, N), jnp.int32), rows, seg_new,
+                              new_mask)
+            seg_mask = seg_new[:, :, None] == rowseg[:, None, :]  # [B, t, N]
+            # within-episode position of each new node: steps since the last
+            # reset in-window, or T + i for the carried-over segment 0
+            starts = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), d[:, :-1]], axis=1)  # [B, t]
+            cand_start = jnp.where(starts > 0, i, -1)
+            last_start = jax.lax.cummax(cand_start, axis=1)  # [B, t]
+            pos_new = jnp.where(last_start >= 0, i - last_start,
+                                T[:, None] + i)
+            positions = rows_set(
+                jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                                 (B, N)),
+                rows, pos_new, new_mask)
+
         def run_selector(sel, sel_params, feats, sel_key):
-            grid, sel_aux = sel(sel_params, feats, T, taus, t, key=sel_key)
+            # only pass seg_mask when active so third-party selectors
+            # without the kwarg keep working
+            kw = {} if seg_mask is None else {"seg_mask": seg_mask}
+            grid, sel_aux = sel(sel_params, feats, T, taus, t, key=sel_key,
+                                **kw)
             return grid, sel_aux
 
         def append_grid(edges, weights, num_edges, grid):
@@ -143,8 +187,9 @@ class SparseGCM:
         if self.preprocessor is not None:
             dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)
         if self.positional_encoder is not None:
+            pe_kw = {} if positions is None else {"positions": positions}
             dirty_nodes = self.positional_encoder(
-                params["positional_encoder"], dirty_nodes, T + taus
+                params["positional_encoder"], dirty_nodes, T + taus, **pe_kw
             )
         if self.aux_edge_selectors is not None:
             sub = None
@@ -161,7 +206,11 @@ class SparseGCM:
         # GNN over the padded edge list (no flatten/flip needed — the batched
         # SpMM aggregates source -> sink directly; reference flattens for
         # torch_geometric ingestion, sparse_gcm.py:165-178)
-        node_feats = self.gnn(params["gnn"], dirty_nodes, edges, weights)
+        gnn_edges, gnn_weights = edges, weights
+        if self.max_hops is not None:
+            gnn_edges = self._k_hop_edge_mask(edges, new_mask, rows, N)
+        node_feats = self.gnn(params["gnn"], dirty_nodes, gnn_edges,
+                              gnn_weights)
 
         # gather outputs at the new rows; padding stays zero
         # (sparse_gcm.py:205-208)
@@ -175,6 +224,30 @@ class SparseGCM:
         return mx, new_state
 
     # -- helpers -----------------------------------------------------------
+    def _k_hop_edge_mask(self, edges, new_mask, rows, N):
+        """Sentinel-mask edges outside the max_hops-hop subgraph around the
+        output (new) nodes — the static-shape k_hop_subgraph (reference
+        sparse_gcm.py:176-199): max_hops rounds of sink→source reachability
+        propagation from the output set, then keep edges with BOTH endpoints
+        reachable (the node-induced subgraph's edge set)."""
+        B, _, E = edges.shape
+        valid = (edges[:, 0, :] >= 0) & (edges[:, 1, :] >= 0)
+        sink = jnp.clip(edges[:, 0, :], 0, N - 1)
+        src = jnp.clip(edges[:, 1, :], 0, N - 1)
+        b = jnp.arange(B)[:, None]
+        # reach[b, n] = node n within max_hops of an output node
+        reach = jnp.zeros((B, N), bool)
+        safe_rows = jnp.clip(rows, 0, N - 1)
+        reach = reach.at[b, safe_rows].max(new_mask)
+        for _ in range(self.max_hops):
+            at_sink = jnp.take_along_axis(reach, sink, axis=1) & valid
+            upd = jnp.zeros((B, N), bool).at[b, src].max(at_sink)
+            reach = reach | upd
+        keep = (valid
+                & jnp.take_along_axis(reach, sink, axis=1)
+                & jnp.take_along_axis(reach, src, axis=1))
+        return jnp.where(keep[:, None, :], edges, -1)
+
     def check_overflow(self, state: SparseGraphState, taus) -> None:
         """Outside-jit guard replicating the reference's raise
         (sparse_gcm.py:120-121)."""
@@ -183,23 +256,39 @@ class SparseGCM:
         if np.any(np.asarray(state.t + taus) > self.graph_size):
             raise Exception("Overflow")
 
-    def scan(self, params, xs, state: SparseGraphState, key=None):
+    def scan(self, params, xs, state: SparseGraphState, key=None, dones=None):
         """Step the sparse core one timestep at a time over xs [B, T, F]
         (t=1 windows) under lax.scan — the step-by-step execution mode of the
-        reference parity suite (tests/test_sparse_gcm.py:349-540)."""
+        reference parity suite (tests/test_sparse_gcm.py:349-540).
+        dones: optional [B, T] — resets finished episodes' memory after each
+        step (see DenseGCM.scan)."""
+        from gcm_tpu.core.graph_state import reset_where
+
         B, T_len, F = xs.shape
         taus1 = jnp.ones((B,), jnp.int32)
         keys = None if key is None else jax.random.split(key, T_len)
 
         def step(carry, inp):
-            if keys is None:
-                x_t, k = inp, None
-            else:
-                x_t, k = inp
+            x_t, k, d = inp
             out, new_state = self(params, x_t[:, None, :], taus1, carry, key=k)
+            if d is not None:
+                new_state = reset_where(new_state, d)
             return new_state, out[:, 0, :]
 
         xs_t = jnp.swapaxes(xs, 0, 1)
-        inputs = xs_t if keys is None else (xs_t, keys)
-        final_state, outs = jax.lax.scan(step, state, inputs)
+        dones_t = None if dones is None else jnp.swapaxes(dones, 0, 1)
+        if keys is None and dones_t is None:
+            final_state, outs = jax.lax.scan(
+                lambda c, x: step(c, (x, None, None)), state, xs_t)
+        elif keys is None:
+            final_state, outs = jax.lax.scan(
+                lambda c, inp: step(c, (inp[0], None, inp[1])), state,
+                (xs_t, dones_t))
+        elif dones_t is None:
+            final_state, outs = jax.lax.scan(
+                lambda c, inp: step(c, (inp[0], inp[1], None)), state,
+                (xs_t, keys))
+        else:
+            final_state, outs = jax.lax.scan(step, state,
+                                             (xs_t, keys, dones_t))
         return jnp.swapaxes(outs, 0, 1), final_state

@@ -149,12 +149,22 @@ def nonzero_padded(mask: jax.Array, k: int):
 
     Returns (idx [B, k] int32 in original order, valid [B, k] bool,
     count [B] int32). If a batch has more than k True entries, the excess is
-    silently dropped — size `k` to capacity.
+    silently dropped — size `k` to capacity. Invalid lanes hold index 0 —
+    always gate gathers at `idx` with `valid`.
+
+    Sort-free: each True entry's output slot is its exclusive prefix count,
+    one O(M) cumsum + one scatter instead of an O(M log M) argsort (the
+    sparse hot path pays this per selector grid, models/sparse_gcm.py).
     """
-    order = jnp.argsort(~mask, axis=-1, stable=True)[:, :k].astype(jnp.int32)
-    valid = jnp.take_along_axis(mask, order, axis=-1)
+    B, M = mask.shape
+    pos = jnp.cumsum(mask, axis=-1) - 1               # [B, M] slot per True
+    dest = jnp.where(mask & (pos < k), pos, k)        # False/overflow → trash
+    src = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    idx = jnp.zeros((B, k + 1), jnp.int32)
+    idx = idx.at[batch_arange(B)[:, None], dest].set(src)[:, :k]
     count = jnp.sum(mask, axis=-1).astype(jnp.int32)
-    return order, valid, count
+    valid = jnp.arange(k)[None, :] < jnp.minimum(count, k)[:, None]
+    return idx, valid, count
 
 
 def append_edges(

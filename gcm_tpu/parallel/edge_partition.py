@@ -71,6 +71,141 @@ def spmm_node_partitioned(mesh: Mesh, axis: str = "dp"):
     )
 
 
+def bucket_edges_cross(edges: jax.Array, weights: jax.Array, n_shards: int,
+                       num_nodes: int, k_pair: int):
+    """Bucket a padded edge list by (source device, sink device) pair for the
+    all_to_all-partitioned SpMM (`spmm_bucketed`): N is block-partitioned into
+    n_shards; each (s, t) pair gets a fixed-capacity `k_pair` slice, laid out
+    source-device-major so sharding the edge axis hands every device its
+    OUTGOING edges grouped by target. Overflowing edges per pair are dropped
+    (size k_pair to the expected locality: for windowed/temporal GCM graphs
+    cross-device pairs hold only boundary edges, so k_pair ≪ E).
+
+    Returns (edges [B, 2, n_shards²·k_pair], weights [..]), sentinel-padded.
+    """
+    from gcm_tpu.ops.scatter import nonzero_padded
+
+    B, _, E = edges.shape
+    block = num_nodes // n_shards
+    valid = (edges[:, 0, :] >= 0) & (edges[:, 1, :] >= 0)
+    sink_dev = jnp.clip(edges[:, 0, :] // block, 0, n_shards - 1)
+    src_dev = jnp.clip(edges[:, 1, :] // block, 0, n_shards - 1)
+    out_e, out_w = [], []
+    for s in range(n_shards):
+        for t in range(n_shards):
+            m = valid & (src_dev == s) & (sink_dev == t)
+            idx, ok, _ = nonzero_padded(m, k_pair)
+            sink = jnp.where(ok, jnp.take_along_axis(edges[:, 0, :], idx,
+                                                     axis=-1), -1)
+            src = jnp.where(ok, jnp.take_along_axis(edges[:, 1, :], idx,
+                                                    axis=-1), -1)
+            w = jnp.where(ok, jnp.take_along_axis(weights, idx, axis=-1), 0.0)
+            out_e.append(jnp.stack([sink, src], axis=1))
+            out_w.append(w)
+    return (jnp.concatenate(out_e, axis=-1).astype(edges.dtype),
+            jnp.concatenate(out_w, axis=-1))
+
+
+def spmm_bucketed(mesh: Mesh, num_nodes: int, axis: str = "dp"):
+    """Node+edge-partitioned SpMM with all_to_all message exchange (SURVEY.md
+    §2 N6's called-for design): x is node-sharded [B, N/d, F]; edges are
+    bucketed by (source device, sink device) via `bucket_edges_cross` and
+    sharded so each device owns its outgoing edges. Each device gathers its
+    local source rows into per-target message blocks, one all_to_all routes
+    messages (and their sink indices) to the sink owners, and a local
+    scatter-add lands them — communication is O(cross-device edges · F) per
+    device instead of the O(N·F) all_gather of `spmm_node_partitioned`, so
+    for windowed/temporal memory graphs (boundary-only cross edges) comms per
+    device stays CONSTANT as the graph scales with the mesh. XLA overlaps the
+    all_to_all with the (independent) local-pair aggregation.
+
+    Returns f(x_block_sharded, edges_bucketed, weights_bucketed) with output
+    node-sharded [B, N/d, F].
+    """
+    d = mesh.shape[axis]
+    n_local = num_nodes // d
+
+    def local(x_block, edges, w):
+        # x_block [B, Nb, F]; edges [B, 2, d·k] outgoing, target-major groups
+        s = jax.lax.axis_index(axis)
+        B, _, L = edges.shape
+        F = x_block.shape[-1]
+        k = L // d
+        sink = edges[:, 0, :]
+        src = edges[:, 1, :]
+        valid = (sink >= 0) & (src >= 0)
+        src_local = jnp.clip(src - s * n_local, 0, n_local - 1)
+        msgs = jnp.take_along_axis(x_block, src_local[..., None], axis=1)
+        msgs = jnp.where(valid[..., None], msgs * w[..., None], 0.0)
+        # route messages + sink indices to their sink-owner devices
+        msgs = jax.lax.all_to_all(msgs.reshape(B, d, k, F), axis,
+                                  split_axis=1, concat_axis=1)
+        sink = jax.lax.all_to_all(sink.reshape(B, d, k), axis,
+                                  split_axis=1, concat_axis=1)
+        t = jax.lax.axis_index(axis)
+        sink_flat = sink.reshape(B, d * k)
+        sl = sink_flat - t * n_local
+        sl = jnp.where((sink_flat >= 0) & (sl >= 0) & (sl < n_local), sl,
+                       n_local).astype(jnp.int32)
+        out = jnp.zeros((B, n_local + 1, F), x_block.dtype)
+        out = out.at[jnp.arange(B)[:, None], sl].add(msgs.reshape(B, d * k, F))
+        return out[:, :n_local]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, axis), P(None, axis)),
+        out_specs=P(None, axis, None),
+    )
+
+
+def spmm_halo(mesh: Mesh, num_nodes: int, halo: int, axis: str = "dp"):
+    """Node-partitioned SpMM for BANDED/windowed graphs (the GCM long-context
+    regime, SURVEY.md §5: candidate edges windowed to the last `window`
+    nodes): sources satisfy sink_block_start − halo ≤ source. Each device
+    fetches only the last `halo` rows of its left neighbor with one ppermute
+    ring step — comms per device is O(halo·F), independent of N and d (the
+    ring-exchange CP analog of SURVEY.md N6). Edges must be pre-bucketed by
+    sink (`bucket_edges_by_sink`) and sharded on the edge axis; x is
+    node-sharded. halo ≤ N/d.
+    """
+    d = mesh.shape[axis]
+    n_local = num_nodes // d
+    assert halo <= n_local, "halo must fit in one neighbor block"
+
+    def local(x_block, edges, w):
+        i = jax.lax.axis_index(axis)
+        B, Nb, F = x_block.shape
+        send = x_block[:, Nb - halo:, :]
+        perm = [(j, (j + 1) % d) for j in range(d)]
+        halo_rows = jax.lax.ppermute(send, axis, perm)  # from left neighbor
+        # device 0 receives device d−1's rows (wraparound garbage), but a
+        # causal banded graph has no sources below 0, so they are never read
+        x_ext = jnp.concatenate([halo_rows, x_block], axis=1)
+        sink = edges[:, 0, :]
+        src = edges[:, 1, :]
+        valid = (sink >= 0) & (src >= 0)
+        base = i * n_local - halo
+        src_l = src - base
+        ok = valid & (src_l >= 0) & (src_l < n_local + halo)
+        msgs = jnp.take_along_axis(
+            x_ext, jnp.clip(src_l, 0, n_local + halo - 1)[..., None], axis=1)
+        msgs = jnp.where(ok[..., None], msgs * w[..., None], 0.0)
+        sl = sink - i * n_local
+        sl = jnp.where(ok & (sl >= 0) & (sl < n_local), sl,
+                       n_local).astype(jnp.int32)
+        out = jnp.zeros((B, n_local + 1, F), x_block.dtype)
+        out = out.at[jnp.arange(B)[:, None], sl].add(msgs)
+        return out[:, :n_local]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, axis), P(None, axis)),
+        out_specs=P(None, axis, None),
+    )
+
+
 def bucket_edges_by_sink(edges: jax.Array, weights: jax.Array, n_shards: int,
                          num_nodes: int, per_shard: int | None = None):
     """Reorder a padded edge list so edges land in the shard that owns their

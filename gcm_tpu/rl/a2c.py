@@ -84,8 +84,11 @@ class A2C:
     def loss(self, params, traj):
         B = traj["obs"].shape[0]
         mem = self.policy.initial_state(B)
+        # dones: replay resets memory at episode boundaries exactly as
+        # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
         logits, values, _ = self.policy(params, traj["obs"], mem,
-                                        prev_actions=traj["prev_actions"])
+                                        prev_actions=traj["prev_actions"],
+                                        dones=traj["dones"])
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)
         logp = jax.nn.log_softmax(logits)

@@ -55,8 +55,11 @@ class PPO(A2C):
     def _evaluate(self, params, traj_mb):
         B = traj_mb["obs"].shape[0]
         mem = self.policy.initial_state(B)
+        # dones: replay resets memory at episode boundaries exactly as
+        # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
         logits, values, _ = self.policy(params, traj_mb["obs"], mem,
-                                        prev_actions=traj_mb["prev_actions"])
+                                        prev_actions=traj_mb["prev_actions"],
+                                        dones=traj_mb["dones"])
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.take_along_axis(logp_all, traj_mb["actions"][..., None],
                                    axis=-1)[..., 0]

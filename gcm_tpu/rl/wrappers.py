@@ -177,14 +177,21 @@ class GCMActorCritic:
         value = self.value_branch(params["value"], belief)[..., 0]
         return logits, value, state
 
-    def __call__(self, params, obs_seq, state, prev_actions=None, key=None):
+    def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
+                 dones=None):
         """Whole trajectory: obs_seq [B, T, obs_dim] ->
-        (logits [B, T, A], values [B, T], state)."""
+        (logits [B, T, A], values [B, T], state).
+
+        dones: optional [B, T] episode terminations — resets the memory of
+        finished episodes inside the scan, so training-time replay matches
+        collect-time beliefs for rollouts with mid-window episode ends (the
+        reference adapter's rllib seq_lens semantics, ray_gcm.py:188-202)."""
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
             else jnp.zeros((B, T), jnp.int32))
-        beliefs, state = self.core.scan(params["core"], x, state, key=key)
+        beliefs, state = self.core.scan(params["core"], x, state, key=key,
+                                        dones=dones)
         logits = self.logit_branch(params["logit"], beliefs)
         values = self.value_branch(params["value"], beliefs)[..., 0]
         return logits, values, state
@@ -231,14 +238,19 @@ class SparseGCMActorCritic(GCMActorCritic):
         return logits[:, 0], values[:, 0], state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 taus=None):
+                 taus=None, dones=None):
+        """dones: optional [B, T] episode terminations — restricts edges and
+        positional encoding to within-episode pairs in the single whole-window
+        SparseGCM call (reference ray_sparse_gcm.py:195-200 seq_lens
+        semantics)."""
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
             else jnp.zeros((B, T), jnp.int32))
         if taus is None:
             taus = jnp.full((B,), T, jnp.int32)
-        beliefs, state = self.core(params["core"], x, taus, state, key=key)
+        beliefs, state = self.core(params["core"], x, taus, state, key=key,
+                                   dones=dones)
         logits = self.logit_branch(params["logit"], beliefs)
         values = self.value_branch(params["value"], beliefs)[..., 0]
         return logits, values, state

@@ -1,0 +1,88 @@
+"""max_hops = k-hop subgraph semantics (reference sparse_gcm.py:176-199).
+
+When max_hops >= GNN depth the restriction is output-invariant (pinned by the
+dense↔sparse parity suite). When max_hops < depth it must TRUNCATE the
+receptive field exactly like torch_geometric's k_hop_subgraph: a 2-layer GNN
+with max_hops=1 only sees 1-hop sources (plus edges among them)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.edges.sparse_temporal import TemporalEdge
+from gcm_tpu.models.sparse_gcm import SparseGCM
+from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+B, t, F, N, E = 2, 6, 5, 16, 64
+
+
+def _models():
+    gnn = SparseGNN([GraphConv(F, F), jnp.tanh, GraphConv(F, F), jnp.tanh])
+    kw = dict(edge_selectors=TemporalEdge([1]), graph_size=N, max_edges=E)
+    m1 = SparseGCM(gnn, max_hops=1, **kw)
+    mf = SparseGCM(gnn, **kw)
+    params = m1.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (B, t, F))
+    taus = jnp.full((B,), t, jnp.int32)
+    return m1, mf, params, xs, taus
+
+
+def _numpy_k_hop_prune(edges, out_rows, hops):
+    """Reference-faithful oracle: BFS sink→source from the output set,
+    keep edges with both endpoints in the reachable node set."""
+    edges = np.asarray(edges)
+    B_, _, E_ = edges.shape
+    pruned = edges.copy()
+    for b in range(B_):
+        reach = set(out_rows[b])
+        for _ in range(hops):
+            new = {int(edges[b, 1, e]) for e in range(E_)
+                   if edges[b, 0, e] >= 0 and int(edges[b, 0, e]) in reach}
+            reach |= new
+        for e in range(E_):
+            s, r = int(pruned[b, 0, e]), int(pruned[b, 1, e])
+            if s < 0 or r < 0 or s not in reach or r not in reach:
+                pruned[b, :, e] = -1
+    return jnp.asarray(pruned)
+
+
+def test_max_hops_1_truncates_2_layer_gnn():
+    # In a FIRST whole-window call every node is an output node, so the k-hop
+    # restriction keeps everything (also the reference's behavior). The
+    # truncation regime needs pre-existing nodes: window 2's outputs reach
+    # back into window 1's chain.
+    m1, mf, params, xs, taus = _models()
+    t0 = 4
+    xs0, xs1 = xs[:, :t0], xs[:, t0:]
+    taus0 = jnp.full((B,), t0, jnp.int32)
+    taus1 = jnp.full((B,), t - t0, jnp.int32)
+
+    _, st1_a = m1(params, xs0, taus0, m1.initial_state(B, F))
+    out1, _ = m1(params, xs1, taus1, st1_a)
+    _, stf_a = mf(params, xs0, taus0, mf.initial_state(B, F))
+    outf, stf = mf(params, xs1, taus1, stf_a)
+    # divergence: with a temporal chain and a 2-layer GNN, max_hops=1
+    # removes the 2-hop contribution into the window-2 outputs
+    assert not jnp.allclose(out1, outf, atol=1e-6)
+
+    # oracle: prune the full model's edge list with a numpy BFS around the
+    # window-2 output rows and run the same GNN on the pruned graph
+    out_rows = [[t0 + i for i in range(t - t0)] for _ in range(B)]
+    pruned = _numpy_k_hop_prune(stf.edges, out_rows, hops=1)
+    feats = m1.gnn(params["gnn"], stf.nodes, pruned, stf.weights)
+    oracle = feats[:, t0:t, :]
+    assert jnp.allclose(out1, oracle, atol=1e-5), (
+        jnp.max(jnp.abs(out1 - oracle)))
+
+
+def test_max_hops_at_depth_is_output_invariant():
+    gnn = SparseGNN([GraphConv(F, F), jnp.tanh, GraphConv(F, F), jnp.tanh])
+    kw = dict(edge_selectors=TemporalEdge([1]), graph_size=N, max_edges=E)
+    m2 = SparseGCM(gnn, max_hops=2, **kw)
+    mf = SparseGCM(gnn, **kw)
+    params = m2.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (B, t, F))
+    taus = jnp.full((B,), t, jnp.int32)
+    out2, _ = m2(params, xs, taus, m2.initial_state(B, F))
+    outf, _ = mf(params, xs, taus, mf.initial_state(B, F))
+    assert jnp.allclose(out2, outf, atol=1e-6)
