@@ -31,10 +31,18 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gcm_tpu.ops.scatter import edge_scatter_add
-from gcm_tpu.parallel.edge_partition import spmm_edge_partitioned
+from gcm_tpu.parallel.edge_partition import (
+    bucket_edges_by_sink,
+    bucket_edges_cross,
+    spmm_bucketed,
+    spmm_edge_partitioned,
+    spmm_halo,
+    spmm_node_partitioned,
+)
 from gcm_tpu.parallel.mesh import make_mesh
 
 B, N, E, F = 64, 512, 8192, 128
+WINDOW = 8  # banded-workload half-bandwidth (the GCM windowed regime)
 REPEATS = 4
 
 
@@ -77,34 +85,100 @@ def slope_chain(spmm_fn, edges, w, shard_x=None, iters_lo=6, iters_hi=30):
     return B * E / slope
 
 
+def make_banded_graph(seed, window=WINDOW):
+    """Causal banded graph (the GCM windowed-candidate regime): sink i links
+    back to i−1..i−window."""
+    sink = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, E), 1, N)
+    hop = jax.random.randint(jax.random.PRNGKey(seed + 2), (B, E), 1,
+                             window + 1)
+    src = jnp.maximum(sink - hop, 0)
+    edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+    return edges, jnp.ones((B, E))
+
+
+def comms_bytes_per_device(variant, d, k_pair=None):
+    """Per-device bytes moved over the interconnect per SpMM call (f32).
+
+    - dp: none in forward (grad psum is the training-time cost, not SpMM's).
+    - edge_partition: ring all-reduce of the full-width [B,N,F] partial
+      accumulator ≈ 2·(d−1)/d·B·N·F·4.
+    - node_gather: all_gather receives the other shards of x:
+      (d−1)/d·B·N·F·4.
+    - bucketed a2a: sends (d−1)/d of d·k_pair message rows (F floats + 1
+      sink int) per batch: (d−1)/d·B·d·k_pair·(F+1)·4 — O(cross edges),
+      constant per device for windowed graphs as N scales with d.
+    - halo: one ppermute of the boundary rows: B·halo·F·4 — constant in
+      BOTH N and d.
+    """
+    if d == 1:
+        return 0
+    if variant == "dp":
+        return 0
+    if variant == "edge_partition":
+        return int(2 * (d - 1) / d * B * N * F * 4)
+    if variant == "node_gather":
+        return int((d - 1) / d * B * N * F * 4)
+    if variant == "bucketed_a2a":
+        return int((d - 1) / d * B * d * k_pair * (F + 1) * 4)
+    if variant == "halo":
+        return int(B * WINDOW * F * 4)
+    raise ValueError(variant)
+
+
 def main():
     n_dev = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
     edges, w = make_graph(0)
+    bedges, bww = make_banded_graph(0)
 
-    base_rate = None
+    base = {}
     results = []
     for d in sizes:
         mesh = make_mesh(dp=d, tp=1, devices=jax.devices()[:d])
-        # DP: shard the batch axis
+        node_shard = NamedSharding(mesh, P(None, "dp", None))
+        k_pair = max(E // (d * d), 64) if d > 1 else E
+
+        row = {"devices": d}
+        # DP: shard the batch axis (communication-free forward)
         dp_shard = NamedSharding(mesh, P("dp", None, None))
-        rate_dp = slope_chain(edge_scatter_add, edges, w, shard_x=dp_shard)
-        # edge partition: shard the edge axis, x replicated
-        ep_fn = spmm_edge_partitioned(mesh, axis="dp")
-        rate_ep = slope_chain(ep_fn, edges, w)
-        if base_rate is None:
-            base_rate = rate_dp
-        results.append({
-            "devices": d,
-            "dp_edges_per_s": round(rate_dp),
-            "dp_efficiency": round(rate_dp / (base_rate * d), 3),
-            "edge_partition_edges_per_s": round(rate_ep),
-        })
+        row["dp"] = slope_chain(edge_scatter_add, edges, w, shard_x=dp_shard)
+        # edge partition: edge axis sharded, full-width psum
+        row["edge_partition"] = slope_chain(
+            spmm_edge_partitioned(mesh, axis="dp"), edges, w)
+        # node partition, all_gather sources
+        nbe, nbw = bucket_edges_by_sink(edges, w, d, N)
+        row["node_gather"] = slope_chain(
+            spmm_node_partitioned(mesh, axis="dp") if d > 1
+            else edge_scatter_add, nbe, nbw, shard_x=node_shard)
+        # node+edge partition, bucketed all_to_all messages
+        cbe, cbw = bucket_edges_cross(edges, w, d, N, k_pair)
+        row["bucketed_a2a"] = slope_chain(
+            spmm_bucketed(mesh, num_nodes=N, axis="dp") if d > 1
+            else edge_scatter_add, cbe, cbw, shard_x=node_shard)
+        # halo exchange on the banded workload
+        hbe, hbw = bucket_edges_by_sink(bedges, bww, d, N)
+        row["halo_banded"] = slope_chain(
+            spmm_halo(mesh, num_nodes=N, halo=WINDOW, axis="dp") if d > 1
+            else edge_scatter_add, hbe, hbw, shard_x=node_shard)
+
+        out = {"devices": d}
+        for k, v in row.items():
+            if k == "devices":
+                continue
+            base.setdefault(k, v)
+            out[f"{k}_edges_per_s"] = round(v)
+            out[f"{k}_efficiency"] = round(v / (base[k] * d), 3)
+        out["comms_bytes_per_device"] = {
+            v: comms_bytes_per_device(v, d, k_pair=k_pair)
+            for v in ("dp", "edge_partition", "node_gather", "bucketed_a2a",
+                      "halo")
+        }
+        results.append(out)
     print(json.dumps({
         "backend": jax.default_backend(),
-        "workload": f"B={B} N={N} E={E} F={F}",
+        "workload": f"B={B} N={N} E={E} F={F} window={WINDOW}",
         "scaling": results,
-    }))
+    }, indent=1))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,399 @@
+"""SpMM implementation shoot-out on the real TPU (VERDICT round-1 item 2).
+
+Measures candidate implementations of the padded-edge-list SpMM
+    out[b, i] = sum_{e: sink_e = i} w_e * x[b, src_e]
+at the BASELINE.json kernel point (B=64, N=512, E=8192, F=128), slope-timed
+over chained iterations (bench.py discipline: distinct inputs, scalar sync).
+
+Variants:
+  xla_scatter        current fallback (gather + .at[].add)           exact
+  xla_sorted         same, edges pre-sorted by sink + sorted hints   exact
+  xla_cumsum         sink-sorted prefix-sum + boundary gather        exact
+  pallas_onehot      current kernel (f32 one-hot matmuls)            exact
+  pallas_bf16        one-hot matmuls in bf16 (x rounded to bf16)     ~1e-2
+  pallas_win         sink-bucketed: narrow scatter window W, gather
+                     full-N one-hot; needs bucketed edge layout      exact
+  pallas_gather      dynamic row gather inside the kernel (Mosaic
+                     capability probe) + narrow scatter window       exact
+
+Run:  python benchmarks/spmm_variants.py [--probe-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gcm_tpu.ops.scatter import edge_mask, edge_scatter_add, gather_nodes
+
+B = int(os.environ.get("SPMM_B", 64))
+N = int(os.environ.get("SPMM_N", 512))
+E = int(os.environ.get("SPMM_E", 8192))
+F = int(os.environ.get("SPMM_F", 128))
+REPEATS = 4
+
+
+# ---------------------------------------------------------------- utilities
+
+def timed_unique(fn, inputs):
+    float(fn(*inputs[0]))
+    times = []
+    for args in inputs[1:]:
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def slope_rate(fn, edges, w, iters_lo=10, iters_hi=60):
+    """edges/s from the slope between short and long chained runs."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(x, e, w, iters):
+        def body(x, _):
+            return fn(x, e, w) * 1e-1, None
+        return jnp.sum(jax.lax.scan(body, x, None, length=iters)[0])
+
+    def measure(iters):
+        inputs = [
+            (jax.random.normal(jax.random.PRNGKey(100 * iters + i),
+                               (B, N, F)), edges, w)
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(
+            lambda x, e, w: chain(x, e, w, iters=iters), inputs)
+
+    t_lo, t_hi = measure(iters_lo), measure(iters_hi)
+    slope = max(t_hi - t_lo, 1e-9) / (iters_hi - iters_lo)
+    return B * E / slope
+
+
+def make_edges(seed=1):
+    sink = jax.random.randint(jax.random.PRNGKey(seed), (B, E), 0, N)
+    src = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, E), 0, N)
+    edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+    w = jax.random.uniform(jax.random.PRNGKey(seed + 2), (B, E)) + 0.5
+    return edges, w
+
+
+def sort_by_sink(edges, w):
+    """Stable sort of the padded edge list by sink (invalid -1 -> N, last)."""
+    valid = edge_mask(edges)
+    key = jnp.where(valid, edges[:, 0, :], N)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    sink = jnp.take_along_axis(jnp.where(valid, edges[:, 0, :], -1), order, 1)
+    src = jnp.take_along_axis(jnp.where(valid, edges[:, 1, :], -1), order, 1)
+    return (jnp.stack([sink, src], axis=1),
+            jnp.take_along_axis(w, order, axis=-1))
+
+
+# ---------------------------------------------------------------- variants
+
+def xla_sorted(x, edges, w):
+    """Pre-sorted edges + sorted/drop hints to the scatter."""
+    valid = edge_mask(edges)
+    sink = jnp.where(valid, edges[:, 0, :], N).astype(jnp.int32)
+    msgs = gather_nodes(x, edges[:, 1, :]) * w[..., None]
+    msgs = jnp.where(valid[..., None], msgs, 0.0)
+    out = jnp.zeros((B, N + 1, F), x.dtype)
+    out = out.at[jnp.arange(B)[:, None], sink].add(
+        msgs, indices_are_sorted=True, unique_indices=False)
+    return out[:, :N]
+
+
+def xla_cumsum(x, edges, w):
+    """Sink-sorted edges: segment-sum = prefix-sum + boundary gather.
+    out[n] = C[bnd[n]] - C[bnd[n-1]] where C = exclusive-inclusive cumsum of
+    messages along E and bnd[n] = #edges with sink <= n."""
+    valid = edge_mask(edges)
+    sink = jnp.where(valid, edges[:, 0, :], N).astype(jnp.int32)
+    msgs = gather_nodes(x, edges[:, 1, :]) * w[..., None]
+    msgs = jnp.where(valid[..., None], msgs, 0.0)
+    csum = jnp.cumsum(msgs, axis=1)                          # [B, E, F]
+    csum = jnp.concatenate([jnp.zeros((B, 1, F), x.dtype), csum], axis=1)
+    deg = jnp.zeros((B, N + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], sink].add(1)[:, :N]          # [B, N]
+    bnd = jnp.cumsum(deg, axis=-1)                           # inclusive
+    hi = jnp.take_along_axis(csum, bnd[..., None], axis=1)
+    lo = jnp.take_along_axis(
+        csum, jnp.concatenate([jnp.zeros((B, 1), bnd.dtype),
+                               bnd[:, :-1]], axis=1)[..., None], axis=1)
+    return hi - lo
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _onehot_kernel(dtype):
+    def kernel(edges_ref, w_ref, x_ref, out_ref):
+        x = x_ref[0].astype(dtype)
+        sink = edges_ref[0, 0, :]
+        src = edges_ref[0, 1, :]
+        w = w_ref[0, 0]
+        n, e = x.shape[0], sink.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+        src_oh = (rows == src[:, None]).astype(dtype)
+        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32)
+        gathered = gathered * w[:, None]
+        sink_oh = (rows == sink[:, None]).astype(dtype)
+        partial = jnp.dot(sink_oh.T, gathered.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        out_ref[0] += partial.astype(out_ref.dtype)
+    return kernel
+
+
+def pallas_onehot_dtype(x, edges, w, dtype=jnp.float32, e_blk=512):
+    n_blk = pl.cdiv(E, e_blk)
+    return pl.pallas_call(
+        _onehot_kernel(dtype),
+        grid=(B, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 2, e_blk), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e_blk), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, F), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), x.dtype),
+        interpret=_use_interpret(),
+    )(edges, w.astype(jnp.float32).reshape(B, 1, E), x)
+
+
+# --- bucketed narrow-window variant -----------------------------------------
+# Nodes are split into N/W buckets of W sink rows; edges are routed into
+# per-bucket segments of capacity CAP. The kernel's scatter one-hot is then
+# [E_blk, W] instead of [E_blk, N].
+
+W_WIN = 128
+
+
+def bucket_by_sink_window(edges, w, win=W_WIN, cap=None):
+    """Rearrange a padded edge list into per-window segments.
+    Returns (edges', w') of shape [B, 2, n_win*cap] where segment k holds only
+    edges whose sink is in [k*win, (k+1)*win). cap defaults to E (safe)."""
+    n_win = N // win
+    if cap is None:
+        cap = E
+    valid = edge_mask(edges)
+    sink = edges[:, 0, :]
+    segs_e, segs_w = [], []
+    for k in range(n_win):
+        m = valid & (sink >= k * win) & (sink < (k + 1) * win)
+        pos = jnp.cumsum(m, axis=-1) - 1
+        dest = jnp.where(m & (pos < cap), pos, cap)
+        e_k = jnp.full((B, 2, cap + 1), -1, jnp.int32)
+        w_k = jnp.zeros((B, cap + 1), w.dtype)
+        bi = jnp.arange(B)[:, None]
+        e_k = e_k.at[bi, 0, dest].set(jnp.where(m, sink, -1))
+        e_k = e_k.at[bi, 1, dest].set(jnp.where(m, edges[:, 1, :], -1))
+        w_k = w_k.at[bi, dest].set(jnp.where(m, w, 0.0))
+        segs_e.append(e_k[:, :, :cap])
+        segs_w.append(w_k[:, :cap])
+    return jnp.concatenate(segs_e, -1), jnp.concatenate(segs_w, -1)
+
+
+def _win_kernel(dtype):
+    def kernel(edges_ref, w_ref, x_ref, out_ref):
+        x = x_ref[0].astype(dtype)          # [N, F]
+        sink = edges_ref[0, 0, :]           # [E_blk]
+        src = edges_ref[0, 1, :]
+        w = w_ref[0, 0]
+        n, e = x.shape[0], sink.shape[0]
+        k = pl.program_id(1)                # window index
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+        src_oh = (rows == src[:, None]).astype(dtype)
+        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32)
+        gathered = gathered * w[:, None]
+        wrows = jax.lax.broadcasted_iota(jnp.int32, (e, W_WIN), 1)
+        sink_oh = (wrows == (sink - k * W_WIN)[:, None]).astype(dtype)
+        partial = jnp.dot(sink_oh.T, gathered.astype(dtype),
+                          preferred_element_type=jnp.float32)  # [W, F]
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        out_ref[0] += partial.astype(out_ref.dtype)
+    return kernel
+
+
+def pallas_win(x, bedges, bw, dtype=jnp.float32, e_blk=512, cap=None):
+    """bedges/bw from bucket_by_sink_window. Output [B, N, F]."""
+    n_win = N // W_WIN
+    if cap is None:
+        cap = bedges.shape[-1] // n_win
+    n_blk = pl.cdiv(cap, e_blk)
+    eb = min(e_blk, cap)
+    return pl.pallas_call(
+        _win_kernel(dtype),
+        grid=(B, n_win, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 2, eb), lambda b, k, j: (b, 0, k * n_blk + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, eb), lambda b, k, j: (b, 0, k * n_blk + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, k, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, W_WIN, F), lambda b, k, j: (b, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), x.dtype),
+        interpret=_use_interpret(),
+    )(bedges, bw.astype(jnp.float32).reshape(B, 1, -1), x)
+
+
+# --- dynamic-gather capability probe ----------------------------------------
+
+def probe_dynamic_gather():
+    """Can Mosaic lower a dynamic row gather (jnp.take along sublanes) and a
+    lane gather (take_along_axis on the minor dim)? Compile tiny kernels and
+    report."""
+    results = {}
+    x = jnp.arange(64 * 128, dtype=jnp.float32).reshape(64, 128)
+    idx = jnp.array([5, 3, 60, 0, 1, 2, 33, 7] * 16, jnp.int32)  # [128]
+
+    def k_rows(x_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take(x_ref[:], i_ref[:], axis=0)
+
+    try:
+        out = pl.pallas_call(
+            k_rows,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_use_interpret(),
+        )(x, idx)
+        ok = bool(jnp.all(out == x[idx]))
+        results["take_rows"] = "ok" if ok else "WRONG"
+    except Exception as ex:  # noqa: BLE001
+        results["take_rows"] = f"fail: {type(ex).__name__}: {str(ex)[:160]}"
+
+    xT = jnp.arange(8 * 512, dtype=jnp.float32).reshape(8, 512)
+    idxl = jnp.tile(jnp.array([[5, 3, 500, 0, 1, 2, 33, 7] * 16], jnp.int32),
+                    (8, 1))  # [8, 128]
+
+    def k_lanes(x_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+
+    try:
+        out = pl.pallas_call(
+            k_lanes,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_use_interpret(),
+        )(xT, idxl)
+        ok = bool(jnp.all(out == jnp.take_along_axis(xT, idxl, axis=1)))
+        results["take_lanes"] = "ok" if ok else "WRONG"
+    except Exception as ex:  # noqa: BLE001
+        results["take_lanes"] = f"fail: {type(ex).__name__}: {str(ex)[:160]}"
+
+    def k_dyn_rows(x_ref, i_ref, o_ref):
+        def body(j, _):
+            o_ref[j, :] = x_ref[i_ref[j], :]
+            return 0
+        jax.lax.fori_loop(0, 128, body, 0)
+
+    try:
+        out = pl.pallas_call(
+            k_dyn_rows,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_use_interpret(),
+        )(x, idx)
+        ok = bool(jnp.all(out == x[idx]))
+        results["dynslice_loop"] = "ok" if ok else "WRONG"
+    except Exception as ex:  # noqa: BLE001
+        results["dynslice_loop"] = f"fail: {type(ex).__name__}: {str(ex)[:160]}"
+
+    return results
+
+
+# ---------------------------------------------------------------- main
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe-only", action="store_true")
+    ap.add_argument("--skip", default="", help="comma-list of variants")
+    args = ap.parse_args()
+
+    print(json.dumps({"probe": probe_dynamic_gather()}), flush=True)
+    if args.probe_only:
+        return
+
+    edges, w = make_edges()
+    sedges, sw = sort_by_sink(edges, w)
+    want = edge_scatter_add(jax.random.normal(jax.random.PRNGKey(0),
+                                              (B, N, F)), edges, w)
+
+    skip = set(args.skip.split(","))
+    out = {}
+
+    def run(name, fn, e, ww, check=True, atol=1e-3):
+        if name in skip:
+            return
+        if check:
+            x0 = jax.random.normal(jax.random.PRNGKey(0), (B, N, F))
+            got = jax.jit(fn)(x0, e, ww)
+            ref = edge_scatter_add(x0, edges, w)
+            err = float(jnp.max(jnp.abs(got - ref)))
+            if err > atol:
+                out[name] = {"error": f"mismatch max|d|={err:.2e}"}
+                print(json.dumps({name: out[name]}), flush=True)
+                return
+        else:
+            err = None
+        rate = slope_rate(fn, e, ww)
+        out[name] = {"edges_per_s": round(rate),
+                     **({"max_abs_err": err} if err is not None else {})}
+        print(json.dumps({name: out[name]}), flush=True)
+
+    run("xla_scatter", edge_scatter_add, edges, w)
+    run("xla_sorted", xla_sorted, sedges, sw)
+    run("xla_cumsum", xla_cumsum, sedges, sw)
+    run("pallas_onehot",
+        lambda x, e, ww: pallas_onehot_dtype(x, e, ww, jnp.float32),
+        edges, w)
+    run("pallas_bf16",
+        lambda x, e, ww: pallas_onehot_dtype(x, e, ww, jnp.bfloat16),
+        edges, w, atol=0.5)
+    bedges, bw = bucket_by_sink_window(edges, w, cap=E // 2)
+    run("pallas_win",
+        lambda x, e, ww: pallas_win(x, e, ww, jnp.float32, cap=E // 2),
+        bedges, bw)
+    run("pallas_win_bf16",
+        lambda x, e, ww: pallas_win(x, e, ww, jnp.bfloat16, cap=E // 2),
+        bedges, bw, atol=0.5)
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "workload": f"B={B} N={N} E={E} F={F}",
+                      "results": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

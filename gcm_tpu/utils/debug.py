@@ -44,6 +44,21 @@ def assert_causal_edges(edges: jax.Array) -> jax.Array:
     return jnp.all(ok)
 
 
+def grad_norms(grads, prefix: str = "grad_norm") -> dict:
+    """Per-parameter L2 gradient norms as a flat {path: scalar} dict — the
+    TPU-native form of the reference's per-parameter grad-norm backward hooks
+    (sparse_edge_selectors/learned.py:67-68,85-87, intended for an external
+    logger). Works on any grad pytree; jit-safe (returns traced scalars)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+
+    def name(path):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+    return {f"{prefix}/{name(p)}": jnp.sqrt(jnp.sum(jnp.square(g)))
+            for p, g in flat}
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context — the TPU-native profiling harness
