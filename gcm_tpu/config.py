@@ -2,7 +2,13 @@
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+# Opt-in jaxtyping shape contracts on the public API (utils/contracts.py).
+# Fires once per trace; zero compiled-path cost.
+TYPECHECK: bool = os.environ.get("GCM_TYPECHECK", "") not in ("", "0")
 
 # "auto": Pallas kernels on TPU, XLA fallbacks elsewhere.
 # True/False force the choice (tests force False to pin fallback parity).

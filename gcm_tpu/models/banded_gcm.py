@@ -24,7 +24,9 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Float
 
+from gcm_tpu.utils.contracts import checked
 from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
 
 
@@ -82,7 +84,9 @@ class BandedRingGCM:
             masks.append((alive & had_pred & src_alive).astype(jnp.float32))
         return masks
 
-    def __call__(self, params, x, state: BandedState, key=None):
+    @checked
+    def __call__(self, params, x: Float[Array, "B F"],
+                 state: BandedState, key=None):
         del key
         nodes, t = state
         B = x.shape[0]

@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Bool, Float
 
+from gcm_tpu.utils.contracts import checked
 from gcm_tpu.core.graph_state import (
     DenseGraphState,
     dense_initial_state,
@@ -108,7 +110,9 @@ class DenseGCM:
                                    edge_weights=self.edge_weights, dtype=dtype)
 
     # -- one timestep ------------------------------------------------------
-    def __call__(self, params, x, state: DenseGraphState, key=None):
+    @checked
+    def __call__(self, params, x: Float[Array, "B F"],
+                 state: DenseGraphState, key=None):
         """x: [B, F] observation. Returns (belief [B, F_out], new state)."""
         if self.validate:
             from gcm_tpu.utils.validation import check_dense_inputs
@@ -158,7 +162,10 @@ class DenseGCM:
         return mx, DenseGraphState(nodes, adj, weights, num_nodes + 1)
 
     # -- trajectory --------------------------------------------------------
-    def scan(self, params, xs, state: DenseGraphState, key=None, dones=None):
+    @checked
+    def scan(self, params, xs: Float[Array, "B T F"],
+             state: DenseGraphState, key=None,
+             dones: Bool[Array, "B T"] | None = None):
         """Run the recurrence over a whole trajectory with lax.scan.
 
         xs: [B, T, F] (time axis scanned). Returns (beliefs [B, T, F_out],

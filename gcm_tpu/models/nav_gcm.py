@@ -28,7 +28,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Float, Int
 
+from gcm_tpu.utils.contracts import checked
 from gcm_tpu.ops.distance import cdist
 from gcm_tpu.ops.scatter import rows_set
 
@@ -128,7 +130,10 @@ class NavGCM:
         return mask
 
     # -- forward -----------------------------------------------------------
-    def __call__(self, params, x, pos, rot, taus, state: NavState):
+    @checked
+    def __call__(self, params, x: Float[Array, "B t F"],
+                 pos: Float[Array, "B t P"], rot: Float[Array, "B t R"],
+                 taus: Int[Array, "B"], state: NavState):
         """x: [B, τ, F], pos: [B, τ, P], rot: [B, τ, R], taus: [B].
         Returns (padded output [B, τ, F_out], new state)."""
         B, t, _ = x.shape

@@ -26,7 +26,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Bool, Float
 
+from gcm_tpu.utils.contracts import checked
 from gcm_tpu.edges.chain import EdgeChain
 from gcm_tpu.edges.dense import DenseEdge
 from gcm_tpu.edges.distance import Distance
@@ -223,7 +225,9 @@ class RingDenseGCM:
         return jnp.where(valid[..., None], out, x)
 
     # -- one timestep ------------------------------------------------------
-    def __call__(self, params, x, state: RingGraphState, key=None):
+    @checked
+    def __call__(self, params, x: Float[Array, "B F"],
+                 state: RingGraphState, key=None):
         if self.validate:
             from gcm_tpu.utils.validation import check_ring_inputs
 

@@ -38,7 +38,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Bool, Float, Int
 
+from gcm_tpu.utils.contracts import checked
 from gcm_tpu.core.graph_state import SparseGraphState, sparse_initial_state
 from gcm_tpu.ops.scatter import append_edges, nonzero_padded, rows_set
 from gcm_tpu.utils.ste import grad_preserving_ones
@@ -87,8 +89,11 @@ class SparseGCM:
                                     dtype=dtype)
 
     # -- forward -----------------------------------------------------------
-    def __call__(self, params, x, taus, state: SparseGraphState, key=None,
-                 return_aux: bool = False, dones=None):
+    @checked
+    def __call__(self, params, x: Float[Array, "B t F"],
+                 taus: Int[Array, "B"], state: SparseGraphState, key=None,
+                 return_aux: bool = False,
+                 dones: Bool[Array, "B t"] | None = None):
         """x: [B, t, F] zero-padded window, taus: [B] valid lengths.
         Returns (mx [B, t, F_out] zero-padded, new state[, aux]).
 

@@ -32,7 +32,8 @@ def discounted_returns(rewards, dones, gamma):
 class A2C:
     def __init__(self, env, policy, gamma: float = 0.99, lr: float = 3e-3,
                  value_coef: float = 0.5, entropy_coef: float = 0.01,
-                 rollout_len: int | None = None):
+                 rollout_len: int | None = None,
+                 log_grad_norms: bool = False):
         self.env = env
         self.policy = policy
         self.gamma = gamma
@@ -40,6 +41,9 @@ class A2C:
         self.entropy_coef = entropy_coef
         self.rollout_len = rollout_len or env.horizon
         self.opt = optax.adam(lr)
+        # per-parameter grad-norm observability (reference registers backward
+        # hooks per param, sparse_edge_selectors/learned.py:67-68,85-87)
+        self.log_grad_norms = log_grad_norms
 
     def init(self, key):
         params = self.policy.init(key)
@@ -111,6 +115,10 @@ class A2C:
         updates, opt_state = self.opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["loss"] = l
+        if self.log_grad_norms:
+            from gcm_tpu.utils.debug import grad_norms
+
+            metrics.update(grad_norms(grads))
         return params, opt_state, metrics
 
     def train(self, key, updates: int, B: int = 16, log_every: int = 0):

@@ -43,10 +43,12 @@ class PPO(A2C):
                  lr: float = 3e-3, clip_eps: float = 0.2,
                  value_coef: float = 0.5, entropy_coef: float = 0.01,
                  epochs: int = 4, num_minibatches: int = 2,
-                 rollout_len: int | None = None):
+                 rollout_len: int | None = None,
+                 log_grad_norms: bool = False):
         super().__init__(env, policy, gamma=gamma, lr=lr,
                          value_coef=value_coef, entropy_coef=entropy_coef,
-                         rollout_len=rollout_len)
+                         rollout_len=rollout_len,
+                         log_grad_norms=log_grad_norms)
         self.lam = lam
         self.clip_eps = clip_eps
         self.epochs = epochs
@@ -105,18 +107,25 @@ class PPO(A2C):
                     self.ppo_loss, has_aux=True)(params, traj_mb)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), l
+                if self.log_grad_norms:
+                    from gcm_tpu.utils.debug import grad_norms
 
-            (params, opt_state), losses = jax.lax.scan(
+                    return (params, opt_state), (l, grad_norms(grads))
+                return (params, opt_state), (l, {})
+
+            (params, opt_state), (losses, norms) = jax.lax.scan(
                 minibatch, (params, opt_state),
                 jnp.arange(self.num_minibatches))
-            return (params, opt_state), jnp.mean(losses)
+            return (params, opt_state), (jnp.mean(losses), norms)
 
         keys = jax.random.split(k_perm, self.epochs)
-        (params, opt_state), losses = jax.lax.scan(
+        (params, opt_state), (losses, norms) = jax.lax.scan(
             epoch, (params, opt_state), keys)
         metrics = {
             "loss": jnp.mean(losses),
             "return": jnp.mean(jnp.sum(traj["rewards"], axis=1)),
         }
+        # per-parameter grad-norm observability (reference backward hooks,
+        # sparse_edge_selectors/learned.py:67-68,85-87): last update's norms
+        metrics.update({k: v[-1, -1] for k, v in norms.items()})
         return params, opt_state, metrics

@@ -269,3 +269,35 @@ class TestWrapperPEConfig:
         obs = jnp.ones((2, 4, env.obs_dim))
         logits, values, _ = pol(params, obs, pol.initial_state(2))
         assert np.isfinite(np.array(logits)).all()
+
+
+class TestGradNormAux:
+    """Per-parameter grad-norm observability (reference registers backward
+    hooks per param: sparse_edge_selectors/learned.py:67-68,85-87)."""
+
+    def test_a2c_metrics_include_grad_norms(self):
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+        pol = make_policy(env)
+        trainer = A2C(env, pol, log_grad_norms=True)
+        params, opt_state = trainer.init(jax.random.PRNGKey(0))
+        _, _, metrics = trainer.update(params, opt_state,
+                                       jax.random.PRNGKey(1), 4)
+        norm_keys = [k for k in metrics if k.startswith("grad_norm/")]
+        assert len(norm_keys) >= 4, metrics.keys()
+        for k in norm_keys:
+            assert np.isfinite(float(metrics[k]))
+
+    def test_ppo_metrics_include_grad_norms(self):
+        from gcm_tpu.rl.ppo import PPO
+
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+        pol = make_policy(env)
+        trainer = PPO(env, pol, epochs=2, num_minibatches=2,
+                      log_grad_norms=True)
+        params, opt_state = trainer.init(jax.random.PRNGKey(0))
+        _, _, metrics = trainer.update(params, opt_state,
+                                       jax.random.PRNGKey(1), 4)
+        norm_keys = [k for k in metrics if k.startswith("grad_norm/")]
+        assert len(norm_keys) >= 4, metrics.keys()
+        for k in norm_keys:
+            assert np.isfinite(float(metrics[k]))

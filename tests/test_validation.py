@@ -152,3 +152,53 @@ class TestCrossStateGuard:
             weights=jnp.zeros((0,)), t=jnp.zeros((1,), jnp.int32))
         with pytest.raises(ShapeError, match="DenseGraphState"):
             model(params, jnp.ones((1, 4)), ring_state)
+
+
+class TestJaxtypingContracts:
+    """Opt-in jaxtyping contracts on the public API (utils/contracts.py) —
+    the torchtyping @typechecked analog (reference sparse_gcm.py:72-92)."""
+
+    def _with_typecheck(self):
+        from gcm_tpu import config
+
+        config.TYPECHECK = True
+        return config
+
+    def test_dense_rejects_wrong_rank(self):
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        config = self._with_typecheck()
+        try:
+            model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=4)
+            params = model.init(jax.random.PRNGKey(0))
+            state = model.initial_state(2, 4)
+            with pytest.raises(TypeError, match="typecheck|contract"):
+                model(params, jnp.ones((2, 1, 4)), state)  # [B,t,F] not [B,F]
+        finally:
+            config.TYPECHECK = False
+
+    def test_sparse_cross_arg_axis_mismatch(self):
+        """taus batch axis must equal x's — cross-argument axis binding."""
+        config = self._with_typecheck()
+        try:
+            model = readme_sparse_gcm(obs_size=4, hidden=8, graph_size=8,
+                                      max_edges=16)
+            params = model.init(jax.random.PRNGKey(0))
+            state = model.initial_state(2, 4)
+            with pytest.raises(TypeError, match="typecheck|contract"):
+                model(params, jnp.ones((2, 3, 4)),
+                      jnp.ones((3,), jnp.int32), state)
+        finally:
+            config.TYPECHECK = False
+
+    def test_off_by_default_no_overhead_path(self):
+        from gcm_tpu import config
+
+        assert config.TYPECHECK is False
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=4)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.initial_state(1, 4)
+        out, _ = model(params, jnp.ones((1, 4)), state)
+        assert out.shape == (1, 4 * 2) or out.ndim == 2
