@@ -88,3 +88,85 @@ class TestSDDMM:
         want = (sim < 0.2) & (jnp.arange(N)[None, :] < num_nodes[:, None])
         got = sddmm_threshold_row(curr, nodes, num_nodes, 0.2, mode="cosine")
         assert np.array_equal(np.array(got), np.array(want))
+
+
+class TestSpMMPairs:
+    """Pair-window bucketed SpMM v2 (ops/pallas/spmm2.py) — parity vs the
+    XLA scatter fallback in interpret mode, incl. gradients and the
+    transpose-layout reshape used by the backward pass."""
+
+    def _graph(self, B=2, N=256, E=512, F=64, seed=0):
+        sink = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, E), 0, N)
+        src = jax.random.randint(jax.random.PRNGKey(seed + 2), (B, E), 0, N)
+        edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+        w = jax.random.uniform(jax.random.PRNGKey(seed + 3), (B, E)) + 0.5
+        x = jax.random.normal(jax.random.PRNGKey(seed + 4), (B, N, F))
+        return x, edges, w
+
+    def test_matches_scatter_fallback(self):
+        from gcm_tpu.ops.pallas.spmm2 import (bucket_edges_pairs,
+                                              check_bucket_overflow,
+                                              spmm_pairs)
+
+        x, edges, w = self._graph()
+        N, cap = 256, 256
+        be, bw, counts = bucket_edges_pairs(edges, w, N, cap)
+        check_bucket_overflow(counts, cap)
+        want = edge_scatter_add(x, edges, w)
+        got = spmm_pairs(x, be, bw, N, cap, "f32x2")
+        assert np.allclose(np.array(got), np.array(want), atol=1e-3)
+
+    def test_sentinel_edges_ignored(self):
+        from gcm_tpu.ops.pallas.spmm2 import bucket_edges_pairs, spmm_pairs
+
+        x, edges, w = self._graph(E=128)
+        edges = edges.at[:, :, 64:].set(-1)  # invalidate half
+        be, bw, _ = bucket_edges_pairs(edges, w, 256, 128)
+        want = edge_scatter_add(x, edges, w)
+        got = spmm_pairs(x, be, bw, 256, 128, "f32x2")
+        assert np.allclose(np.array(got), np.array(want), atol=1e-3)
+
+    def test_gradients_match_fallback(self):
+        from gcm_tpu.ops.pallas.spmm2 import bucket_edges_pairs, spmm_pairs
+
+        x, edges, w = self._graph(B=1, N=128, E=128, F=32)
+        be, bw, _ = bucket_edges_pairs(edges, w, 128, 256)
+
+        def loss_pairs(xx, ww):
+            return jnp.sum(spmm_pairs(xx, be, ww, 128, 256, "f32x2") ** 2)
+
+        def loss_ref(xx, ww):
+            return jnp.sum(edge_scatter_add(xx, edges, ww) ** 2)
+
+        gx, gw = jax.grad(loss_pairs, argnums=(0, 1))(x, bw)
+        rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        assert np.allclose(np.array(gx), np.array(rx), atol=1e-2)
+        # bucketed-layout weight grads: compare via scatter back through the
+        # bucket permutation (invalid lanes have zero grad)
+        from gcm_tpu.ops.scatter import edge_mask
+        assert np.isfinite(np.array(gw)).all()
+        valid = np.array(edge_mask(be))
+        assert (np.abs(np.array(gw))[~valid] == 0).all()
+
+    def test_overflow_detected(self):
+        import pytest
+
+        from gcm_tpu.ops.pallas.spmm2 import (bucket_edges_pairs,
+                                              check_bucket_overflow)
+
+        x, edges, w = self._graph(B=1, N=128, E=512)
+        _, _, counts = bucket_edges_pairs(edges, w, 128, 128)  # cap < E
+        with pytest.raises(ValueError, match="overflow"):
+            check_bucket_overflow(counts, 128)
+
+    def test_transpose_pairs_roundtrip(self):
+        from gcm_tpu.ops.pallas.spmm2 import (bucket_edges_pairs,
+                                              transpose_pairs)
+
+        x, edges, w = self._graph()
+        be, bw, _ = bucket_edges_pairs(edges, w, 256, 256)
+        fe, fw = transpose_pairs(be, bw, 256, 256)
+        fe2, fw2 = transpose_pairs(fe, fw, 256, 256)
+        # double transpose undoes the pair swap but leaves rows swapped twice
+        assert np.array_equal(np.array(fe2), np.array(be))
+        assert np.array_equal(np.array(fw2), np.array(bw))
