@@ -40,8 +40,10 @@ except Exception:
 import jax.numpy as jnp
 
 # PyTorch reference-equivalent, measured on this machine's CPU by
-# bench_reference.py (2026-08-17): forward 20209 steps/s, fwd+bwd 11010.
-BASELINE_FWD_TIMESTEPS_PER_S = 20209.0
+# bench_reference.py. Best of the round-1 (20209) and round-2 (34975)
+# measurements — the round-1 run was depressed by concurrent host load, so
+# the higher number is the fair baseline.
+BASELINE_FWD_TIMESTEPS_PER_S = 34975.0
 
 REPEATS = 5
 
@@ -246,12 +248,131 @@ def bench_banded_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
     return B / slope
 
 
+def _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=31):
+    """Slope-timed forward scan for an arbitrary dense-API model."""
+    def fwd(p, x):
+        outs, _ = model.scan(p, x, model.initial_state(B, obs))
+        return jnp.sum(outs)
+
+    jf = jax.jit(fwd)
+
+    def measure(T):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(seed * T + i),
+                                       (B, T, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(jf, inputs)
+
+    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    return B / slope
+
+
+def bench_dense_edge(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256):
+    """BASELINE.json config 2: DenseEdge (fully-connected past) at
+    graph_size=512 (reference edge_selectors/dense.py:4-23)."""
+    from gcm_tpu.edges.dense import DenseEdge
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    model = readme_dense_gcm(obs_size=obs, hidden=hidden, graph_size=N)
+    model.edge_selectors = DenseEdge()
+    params = model.init(jax.random.PRNGKey(0))
+    return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=37)
+
+
+def bench_distance(mode, B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
+    """BASELINE.json config 3: distance edge selectors — the SDDMM scoring
+    path (reference edge_selectors/distance.py:42-81). mode in
+    euclidean|cosine|spatial."""
+    from gcm_tpu.edges.distance import CosineEdge, EuclideanEdge, SpatialEdge
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    sel = {
+        "euclidean": lambda: EuclideanEdge(max_distance=1.0),
+        "cosine": lambda: CosineEdge(max_distance=0.5),
+        "spatial": lambda: SpatialEdge(max_distance=0.25,
+                                       a_pose_slice=slice(0, 2)),
+    }[mode]()
+    model = readme_dense_gcm(obs_size=obs, hidden=hidden, graph_size=N)
+    model.edge_selectors = sel
+    params = model.init(jax.random.PRNGKey(0))
+    return _bench_dense_scan(model, params, obs, B, T_lo, T_hi,
+                             seed=41 + len(mode))
+
+
+def bench_learned_edge(B=32, obs=8, hidden=32, N=128, T_lo=64, T_hi=256):
+    """BASELINE.json config 5a: dense LearnedEdge (pair-MLP scorer +
+    Spardmax, reference edge_selectors/learned.py:7-125), deterministic."""
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    # selectors see RAW (pre-preprocessor) nodes — obs-dim features
+    # (reference aliasing discipline, gcm.py:262-291)
+    model = readme_dense_gcm(obs_size=obs, hidden=hidden, graph_size=N)
+    model.edge_selectors = LearnedEdge(input_size=obs, deterministic=True)
+    params = model.init(jax.random.PRNGKey(0))
+    return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=43)
+
+
+def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=2, n_hi=8):
+    """BASELINE.json config 5b: NavGCM rollout (reference nav_gcm.py:237-263,
+    radius edges recomputed from geometry each call, causal mode). Chained
+    windows of tau steps; slope over window count."""
+    import functools
+
+    from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM
+    from gcm_tpu.nn.dense_conv import DenseGraphConv
+
+    pose = 3  # pos 2 + rot 1 concatenated by NavDenseGNN
+    gnn = NavDenseGNN([DenseGraphConv(F + pose, F), jnp.tanh,
+                       DenseGraphConv(F, F), jnp.tanh])
+    model = NavGCM(gnn, max_verts=V, edge_method="radius", r=2.0, k=16)
+    params = model.init(jax.random.PRNGKey(0))
+    taus = jnp.full((B,), tau, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("n_win",))
+    def chain(p, xs, poss, rots, n_win):
+        state = model.initial_state(B, F)
+
+        def body(st, inp):
+            x_w, p_w, r_w = inp
+            out, st2 = model(p, x_w, p_w, r_w, taus, st)
+            return st2, jnp.sum(out)
+
+        _, sums = jax.lax.scan(body, state,
+                               (xs[:n_win], poss[:n_win], rots[:n_win]))
+        return jnp.sum(sums)
+
+    def measure(n_win):
+        inputs = []
+        for i in range(REPEATS + 1):
+            k = jax.random.PRNGKey(53 * n_win + i)
+            k1, k2, k3 = jax.random.split(k, 3)
+            inputs.append((
+                params,
+                jax.random.normal(k1, (n_hi, B, tau, F)),
+                jax.random.normal(k2, (n_hi, B, tau, 2)),
+                jax.random.normal(k3, (n_hi, B, tau, 1)),
+            ))
+        return timed_unique(
+            lambda p, x, ps, rs: chain(p, x, ps, rs, n_win=n_win), inputs)
+
+    slope = max(measure(n_hi) - measure(n_lo), 1e-9) / (n_hi - n_lo)
+    return B * tau / slope
+
+
 def main():
     fwd, fwd_bwd = bench_dense_gcm()
     ring = bench_ring_gcm()
     banded = bench_banded_gcm()
     sparse_train = bench_sparse_gcm()
     spmm = bench_spmm()
+    dense_edge = bench_dense_edge()
+    euclid = bench_distance("euclidean")
+    cosine = bench_distance("cosine")
+    spatial = bench_distance("spatial")
+    learned = bench_learned_edge()
+    nav = bench_nav_gcm()
     print(json.dumps({
         "metric": "gcm_timesteps_per_s",
         "value": round(fwd),
@@ -262,6 +383,12 @@ def main():
         "banded_timesteps_per_s": round(banded),
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
+        "dense_edge_n512_timesteps_per_s": round(dense_edge),
+        "euclidean_timesteps_per_s": round(euclid),
+        "cosine_timesteps_per_s": round(cosine),
+        "spatial_timesteps_per_s": round(spatial),
+        "learned_edge_timesteps_per_s": round(learned),
+        "nav_gcm_timesteps_per_s": round(nav),
         "backend": jax.default_backend(),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
     }))

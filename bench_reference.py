@@ -26,9 +26,41 @@ class DenseGraphConv(torch.nn.Module):
         return self.lin_rel(torch.matmul(adj, x)) + self.lin_root(x)
 
 
+def sparsemax_1d(z):
+    """Sparsemax over the last dim (Martins & Astudillo 2016) — the pip
+    `sparsemax` dependency the reference's Spardmax wraps (util.py:29-42)."""
+    zs, _ = torch.sort(z, dim=-1, descending=True)
+    rng = torch.arange(1, z.shape[-1] + 1, dtype=z.dtype)
+    csum = zs.cumsum(-1)
+    support = 1 + rng * zs > csum
+    k = support.to(z.dtype).cumsum(-1).gather(
+        -1, (support.sum(-1, keepdim=True) - 1).clamp(min=0))
+    tau = (csum.gather(-1, (support.sum(-1, keepdim=True) - 1).clamp(min=0))
+           - 1) / k.clamp(min=1)
+    return torch.clamp(z - tau, min=0)
+
+
+class EdgeMLP(torch.nn.Module):
+    """The reference LearnedEdge scorer (edge_selectors/learned.py:38-51)."""
+
+    def __init__(self, hidden):
+        super().__init__()
+        self.net = torch.nn.Sequential(
+            torch.nn.Linear(2 * hidden, hidden), torch.nn.ReLU(),
+            torch.nn.LayerNorm(hidden),
+            torch.nn.Linear(hidden, hidden), torch.nn.ReLU(),
+            torch.nn.LayerNorm(hidden),
+            torch.nn.Linear(hidden, 1))
+
+    def forward(self, pairs):
+        return self.net(pairs)
+
+
 class RefDenseGCM(torch.nn.Module):
     """Reference DenseGCM per-step semantics (gcm.py:213-321); edge selector
-    is temporal backedge hop 1 or dense-past (edge_selectors/dense.py)."""
+    is temporal backedge hop 1, dense-past (edge_selectors/dense.py), a
+    distance-threshold selector (edge_selectors/distance.py:42-81), or the
+    learned pair-MLP selector (edge_selectors/learned.py:7-125)."""
 
     def __init__(self, obs, hidden, graph_size, selector="temporal"):
         self.selector = selector
@@ -36,7 +68,27 @@ class RefDenseGCM(torch.nn.Module):
         self.pre = torch.nn.Linear(obs, hidden)  # noqa: E501
         self.conv1 = DenseGraphConv(hidden, hidden)
         self.conv2 = DenseGraphConv(hidden, hidden)
+        if selector == "learned":
+            self.edge_mlp = EdgeMLP(obs)
         self.N = graph_size
+
+    def _distance_mask(self, nodes, num_nodes, B, N):
+        """Score current node vs memory, threshold (distance.py:18-39)."""
+        B_idx = torch.arange(B)
+        curr = nodes[B_idx, num_nodes]  # [B, F]
+        if self.selector == "euclidean":
+            # reference broadcast: cdist([B,F],[B,N,F]) -> [B,B,N], mean dim 1
+            d = torch.cdist(curr, nodes).mean(dim=1)
+            thr = 1.0
+        elif self.selector == "cosine":
+            d = torch.nn.CosineSimilarity(dim=2)(
+                curr.unsqueeze(1).expand(-1, N, -1), nodes)
+            thr = 0.5
+        else:  # spatial: pose slice dims 0:2 (distance.py:64-81)
+            d = torch.cdist(curr[:, None, 0:2], nodes[:, :, 0:2])[:, 0]
+            thr = 0.25
+        idx = torch.arange(N)[None, :]
+        return (d < thr) & (idx < num_nodes[:, None])
 
     def forward(self, x, hidden):
         nodes, adj, num_nodes = hidden
@@ -60,11 +112,32 @@ class RefDenseGCM(torch.nn.Module):
         if self.selector == "temporal":
             valid = (num_nodes >= 1).nonzero().squeeze(-1)
             adj[valid, num_nodes[valid], num_nodes[valid] - 1] = 1
-        else:  # dense-past (edge_selectors/dense.py:16-21)
+        elif self.selector == "dense":  # dense-past (edge_selectors/dense.py:16-21)
             for b in range(x.shape[0]):
                 i = int(num_nodes[b])
                 adj[b, i, : i + 1] = 1
                 adj[b, :i, i] = 1
+        elif self.selector == "learned":
+            # pair-MLP over (current || past) + Spardmax merge
+            # (learned.py:53-113); pairs built per batch like
+            # idxs_up_to_num_nodes (util.py:501-522)
+            curr = nodes[B_idx, num_nodes]
+            pairs = torch.cat(
+                [curr[:, None, :].expand(-1, N, -1), nodes], dim=-1)
+            logits = self.edge_mlp(pairs)[..., 0]  # [B, N]
+            idx = torch.arange(N)[None, :]
+            logits = torch.where(idx < num_nodes[:, None], logits,
+                                 torch.full_like(logits, -1e10))
+            soft = sparsemax_1d(logits)
+            hard = (soft > 0).float()
+            e = hard + soft - soft.detach()  # STE (util.py:9-26)
+            adj = adj.clone()
+            adj[B_idx, num_nodes] = adj[B_idx, num_nodes] + e
+        else:
+            mask = self._distance_mask(nodes, num_nodes, B, N)
+            adj[B_idx, num_nodes] = torch.where(
+                mask, torch.ones_like(adj[B_idx, num_nodes]),
+                adj[B_idx, num_nodes])
         h = self.pre(nodes)
         h = torch.tanh(self.conv1(h, adj))
         h = torch.tanh(self.conv2(h, adj))
@@ -124,16 +197,83 @@ def run(B=32, obs=8, hidden=32, N=128, T=128, backward=False, repeats=3,
     return B * T / best
 
 
+def run_nav(B=8, F=16, V=128, tau=8, n_win=4, r=2.0, repeats=2):
+    """Reference NavGCM rollout counterpart (nav_gcm.py:237-263): radius
+    edges from geometry each call (cdist threshold — the pure-torch stand-in
+    for torch_geometric.nn.radius_graph), causal filter, 2-layer GraphConv
+    over the flat edge list via scatter_add."""
+    torch.manual_seed(0)
+    pose = 3
+    lin1_rel = torch.nn.Linear(F + pose, F)
+    lin1_root = torch.nn.Linear(F + pose, F, bias=False)
+    lin2_rel = torch.nn.Linear(F, F)
+    lin2_root = torch.nn.Linear(F, F, bias=False)
+
+    def conv(x, src, snk, lin_rel, lin_root):
+        agg = torch.zeros(x.shape[0], lin_rel.in_features)
+        agg.index_add_(0, snk, x[src])
+        return lin_rel(agg) + lin_root(x)
+
+    def window(state_x, state_pos, state_rot, t, xs, poss, rots):
+        state_x = torch.cat([state_x, xs], dim=1)
+        state_pos = torch.cat([state_pos, poss], dim=1)
+        state_rot = torch.cat([state_rot, rots], dim=1)
+        outs = []
+        for b in range(B):
+            feats = torch.cat([state_x[b], state_pos[b], state_rot[b]], -1)
+            d = torch.cdist(state_pos[b], state_pos[b])
+            ii, jj = (d <= r).nonzero(as_tuple=True)
+            keep = jj < ii  # causal: source strictly before sink
+            snk, src = ii[keep], jj[keep]
+            h = torch.tanh(conv(feats, src, snk, lin1_rel, lin1_root))
+            h = torch.tanh(conv(h, src, snk, lin2_rel, lin2_root))
+            outs.append(h[-tau:])
+        return state_x, state_pos, state_rot, t + tau, torch.stack(outs)
+
+    def rollout():
+        sx = torch.zeros(B, 0, F)
+        sp = torch.zeros(B, 0, 2)
+        sr = torch.zeros(B, 0, 1)
+        t = 0
+        for _ in range(n_win):
+            xs = torch.randn(B, tau, F)
+            poss = torch.randn(B, tau, 2)
+            rots = torch.randn(B, tau, 1)
+            sx, sp, sr, t, out = window(sx, sp, sr, t, xs, poss, rots)
+        return out
+
+    rollout()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rollout()
+        best = min(best, time.perf_counter() - t0)
+    return B * tau * n_win / best
+
+
 if __name__ == "__main__":
     fwd = run(backward=False)
     fwd_bwd = run(backward=True)
     dense_edge = run(backward=True, selector="dense", repeats=2)
+    dense_edge_512 = run(backward=False, N=512, T=64, selector="dense",
+                         repeats=2)
+    euclid = run(backward=False, selector="euclidean", repeats=2)
+    cosine = run(backward=False, selector="cosine", repeats=2)
+    spatial = run(backward=False, selector="spatial", repeats=2)
+    learned = run(backward=False, selector="learned", repeats=2)
+    nav = run_nav()
     lstm = run_lstm(backward=True)
     print(json.dumps({
         "reference_dense_gcm_fwd_timesteps_per_s": round(fwd),
         "reference_dense_gcm_fwd_bwd_timesteps_per_s": round(fwd_bwd),
         "reference_dense_gcm_denseedge_fwd_bwd_timesteps_per_s": round(
             dense_edge),
+        "reference_denseedge_n512_fwd_timesteps_per_s": round(dense_edge_512),
+        "reference_euclidean_fwd_timesteps_per_s": round(euclid),
+        "reference_cosine_fwd_timesteps_per_s": round(cosine),
+        "reference_spatial_fwd_timesteps_per_s": round(spatial),
+        "reference_learned_edge_fwd_timesteps_per_s": round(learned),
+        "reference_nav_gcm_fwd_timesteps_per_s": round(nav),
         "reference_lstm_fwd_bwd_timesteps_per_s": round(lstm),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128",
         "hardware": "CPU (torch, reference-equivalent reimplementation)",

@@ -9,6 +9,17 @@ before anything returns to HBM. Per-batch scalars (num_nodes, threshold)
 arrive via scalar prefetch.
 
 Falls back to interpret mode off-TPU.
+
+DISPATCH STATUS (measured, TPU v5e 2026-08-17, slope-timed chained calls):
+the XLA fallback (ops.distance score + mask, which XLA fuses into one
+batched-matmul+elementwise program) beats this kernel at every size with
+signal above timing noise — N=512/F=128: XLA 9.8/25.8 µs vs pallas
+36.2/40.5 µs (euclidean/cosine); smaller selector sizes are sub-µs and
+noise-dominated. The per-batch grid=(B,) launch cannot beat one fused
+batched GEMM, so `edges/distance.py` intentionally stays on the XLA path
+(same conclusion as the N1 dense-conv kernels, config.py). The kernel is
+kept as the tested N3 reference implementation; numbers recorded in
+BASELINE.md.
 """
 
 from __future__ import annotations
