@@ -25,9 +25,12 @@ from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
 
 # reference ray_gcm.py:22-79 — the de-facto config system, key-validated
 DENSE_DEFAULT_CONFIG = {
-    # "dense" = roll-based DenseGCM; "ring" = RingDenseGCM (identical
-    # outputs, O(N) steady-state eviction — measured 1.43x faster)
-    "core": "dense",
+    # "ring" = RingDenseGCM (default: identical outputs to DenseGCM with
+    # O(N) steady-state eviction, measured 1.43x faster per step and ~2x
+    # faster full A2C updates; soak round 2: dense/ring/banded reach
+    # identical returns on recall+tmaze on TPU). "dense" = roll-based
+    # DenseGCM; "banded" = BandedRingGCM (temporal-only fast path).
+    "core": "ring",
     "graph_size": 32,
     "gnn_input_size": 64,
     "gnn_output_size": 64,

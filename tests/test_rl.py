@@ -45,7 +45,8 @@ class TestWrapper:
         logits, values, state = pol(params, obs, pol.initial_state(B))
         assert logits.shape == (B, T, env.num_actions)
         assert values.shape == (B, T)
-        assert np.array(state.num_nodes).tolist() == [T] * B
+        # default core is "ring" (round 2): state tracks t in slot space
+        assert np.array(state.t).tolist() == [T] * B
 
     def test_step_matches_scan(self):
         env = RecallEnv()
@@ -129,8 +130,8 @@ class TestRingCoreWrapper:
         """core='ring' produces identical logits/values (RingDenseGCM output
         parity) while storing the memory in slot space."""
         env = RecallEnv()
-        dense = make_policy(env)
-        ring = make_policy(env, core="ring")
+        dense = make_policy(env, core="dense")
+        ring = make_policy(env, core="ring")  # the default since round 2
         params = dense.init(jax.random.PRNGKey(0))
         B, T = 2, env.horizon + 3  # wraps past graph capacity
         obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
@@ -143,7 +144,7 @@ class TestRingCoreWrapper:
 class TestBandedCoreWrapper:
     def test_banded_wrapper_matches_dense(self):
         env = RecallEnv()
-        dense = make_policy(env)
+        dense = make_policy(env, core="dense")
         banded = make_policy(env, core="banded")
         dp = dense.init(jax.random.PRNGKey(0))
         # transplant shared modules (banded has no edge_selectors params)
