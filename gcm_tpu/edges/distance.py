@@ -22,11 +22,17 @@ class Distance:
     1.0 (reference distance.py:13-22)."""
 
     def __init__(self, max_distance: float, bidirectional: bool = False,
-                 learned: bool = False):
+                 learned: bool = False, window: int | None = None):
         self.max_distance = 1.0 if learned else max_distance
         self.init_distance = max_distance
         self.bidirectional = bidirectional
         self.learned = learned
+        # window: restrict candidate sources to the last `window` nodes —
+        # the dense analog of the sparse selectors' candidate window
+        # (reference util.py:252-259, sparse_edge_selectors/learned.py:28-31;
+        # the reference's dense Distance has no window, so None replicates
+        # it exactly). Enables the banded fast path (models/banded_gcm.py).
+        self.window = window
 
     def init(self, key):
         del key
@@ -48,6 +54,9 @@ class Distance:
         mask = (dists < self.max_distance) & (
             jnp.arange(N)[None, :] < num_nodes[:, None]
         )  # [B, N] — excludes the current node (no self edge)
+        if self.window is not None:
+            mask = mask & (
+                jnp.arange(N)[None, :] >= num_nodes[:, None] - self.window)
         r = jnp.arange(N)[None, :, None]
         c = jnp.arange(N)[None, None, :]
         i = num_nodes[:, None, None]
@@ -64,8 +73,9 @@ class EuclideanEdge(Distance):
     ops.distance.euclidean_score for the faithfully-replicated batch-mean
     broadcast."""
 
-    def __init__(self, max_distance: float, learned: bool = False):
-        super().__init__(max_distance, learned=learned)
+    def __init__(self, max_distance: float, learned: bool = False,
+                 window: int | None = None):
+        super().__init__(max_distance, learned=learned, window=window)
 
     def dist_fn(self, curr, nodes):
         return euclidean_score(curr, nodes)
@@ -75,8 +85,9 @@ class CosineEdge(Distance):
     """Reference CosineEdge (distance.py:52-61): cosine *similarity* compared
     against the threshold."""
 
-    def __init__(self, max_distance: float, learned: bool = False):
-        super().__init__(max_distance, learned=learned)
+    def __init__(self, max_distance: float, learned: bool = False,
+                 window: int | None = None):
+        super().__init__(max_distance, learned=learned, window=window)
 
     def dist_fn(self, curr, nodes):
         return cosine_score(curr, nodes)
@@ -87,8 +98,9 @@ class SpatialEdge(Distance):
     pose sub-slices."""
 
     def __init__(self, max_distance: float, a_pose_slice: slice,
-                 b_pose_slice: slice | None = None, learned: bool = False):
-        super().__init__(max_distance, learned=learned)
+                 b_pose_slice: slice | None = None, learned: bool = False,
+                 window: int | None = None):
+        super().__init__(max_distance, learned=learned, window=window)
         self.a_pose_slice = a_pose_slice
         self.b_pose_slice = b_pose_slice or a_pose_slice
 

@@ -156,3 +156,182 @@ class BandedRingGCM:
             final_state, outs = jax.lax.scan(
                 step, state, (xs_t, jnp.swapaxes(dones, 0, 1)))
         return jnp.swapaxes(outs, 0, 1), final_state
+
+
+class BandedScoredState(NamedTuple):
+    nodes: jax.Array  # [B, N, F] slot-indexed raw observations
+    band: jax.Array   # [B, N, w] stored edge values per (sink slot, offset)
+    t: jax.Array      # [B] int32
+
+
+class BandedScoredGCM:
+    """Banded fast path for *scored* selectors (ROADMAP item 1's second
+    half): the adjacency is a band of stored values [B, N, w] — band[b, s,
+    k−1] is the edge value (sink slot s ← source slot (s−k) mod N) recorded
+    when s was inserted — instead of a materialized [B, N, N] matrix.
+
+    Each step scores the new node against the last `window` nodes with a
+    dense-API Distance selector (reference edge_selectors/distance.py:42-81)
+    and/or writes 1.0 at fixed temporal hop offsets (TemporalBackedge,
+    temporal.py:72-88). Aggregation per conv layer is w masked rolls —
+    O(w·N·F) vs the dense core's O(N²·F) adj @ x.
+
+    EXACT DenseGCM parity for
+      edge_selectors = [TemporalBackedge(hops)] + [Distance(..., window=w)]
+    with forward-only, non-bidirectional selectors and a DenseGraphConv
+    ('add') + tanh/relu GNN stack (pinned by tests/test_banded_gcm.py).
+    The reference's unwindowed Distance selectors correspond to w ≥ N−1;
+    the win of this core is the windowed regime (the same candidate-window
+    concept the reference applies in its sparse selectors, util.py:252-259).
+
+    Eviction semantics match DenseGCM's wraparound (gcm.py:323-355) exactly
+    like BandedRingGCM: band values persist per slot; edges whose source has
+    been evicted are killed at aggregation time by the age-based alive mask;
+    a reused sink slot overwrites its row at insert.
+    """
+
+    def __init__(self, gnn: DenseGNN, distance=None, preprocessor=None,
+                 hops: Sequence[int] = (), window: int | None = None,
+                 graph_size: int = 128):
+        assert isinstance(gnn, DenseGNN), "BandedScoredGCM needs a DenseGNN"
+        plan = (gnn._plan_fusion() if gnn.fuse
+                else DenseGNN(gnn.layers)._plan_fusion())
+        assert plan is not None, (
+            "BandedScoredGCM supports DenseGraphConv('add') + tanh/relu "
+            "stacks")
+        self._conv_idx, self._acts = plan
+        self.gnn = gnn
+        self.preprocessor = preprocessor
+        self.distance = distance
+        if distance is not None:
+            assert not getattr(distance, "bidirectional", False), (
+                "banded fast path is forward-only")
+            w = window if window is not None else distance.window
+            assert w is not None, (
+                "BandedScoredGCM needs a candidate window (set window= here "
+                "or on the Distance selector)")
+        else:
+            assert hops, "need a distance selector and/or temporal hops"
+            w = window if window is not None else max(hops)
+        assert all(h <= w for h in hops), "hops must fit in the window"
+        self.hops = tuple(hops)
+        self.window = int(w)
+        self.graph_size = graph_size
+
+    def init(self, key):
+        params = {}
+        key, sub = jax.random.split(key)
+        params["gnn"] = self.gnn.init(sub)
+        if self.preprocessor is not None:
+            key, sub = jax.random.split(key)
+            params["preprocessor"] = self.preprocessor.init(sub)
+        if self.distance is not None:
+            key, sub = jax.random.split(key)
+            params["distance"] = self.distance.init(sub)
+        return params
+
+    def initial_state(self, B: int, feat: int, dtype=jnp.float32):
+        return BandedScoredState(
+            nodes=jnp.zeros((B, self.graph_size, feat), dtype),
+            band=jnp.zeros((B, self.graph_size, self.window), dtype),
+            t=jnp.zeros((B,), jnp.int32),
+        )
+
+    def _score_row(self, params, x, nodes, p, t):
+        """Edge values [B, w] for the row being inserted at slot p: offset
+        k−1 holds the value of edge (sink p ← source (p−k) mod N)."""
+        B = x.shape[0]
+        N = self.graph_size
+        w = self.window
+        ks = jnp.arange(1, w + 1)
+        # source k exists iff the sink had ≥ k predecessors at insert:
+        # k ≤ min(t, N−1) (= num_nodes at the dense core's insert point)
+        valid = ks[None, :] <= jnp.minimum(t, N - 1)[:, None]  # [B, w]
+        row = jnp.zeros((B, w), nodes.dtype)
+        if self.distance is not None:
+            src_slots = jnp.mod(p[:, None] - ks[None, :], N)  # [B, w]
+            wnodes = jnp.take_along_axis(
+                nodes, src_slots[..., None], axis=1)  # [B, w, F]
+            curr = x
+            if self.distance.learned:
+                scale = params["distance"]["dist_param"]
+                curr = curr / scale
+                wnodes = wnodes / scale
+            dists = self.distance.dist_fn(curr, wnodes)  # [B, w]
+            row = jnp.where(
+                (dists < self.distance.max_distance) & valid, 1.0, row)
+        for h in self.hops:
+            row = row.at[:, h - 1].set(
+                jnp.where(valid[:, h - 1], 1.0, row[:, h - 1]))
+        return row
+
+    @checked
+    def __call__(self, params, x: Float[Array, "B F"],
+                 state: BandedScoredState, key=None):
+        del key
+        nodes, band, t = state
+        B = x.shape[0]
+        N = self.graph_size
+        w = self.window
+        b_idx = jnp.arange(B)
+        p = jnp.mod(t, N)
+        nodes = nodes.at[b_idx, p].set(x.astype(nodes.dtype))
+        band = band.at[b_idx, p].set(
+            self._score_row(params, x, nodes, p, t))
+
+        h_feats = nodes
+        if self.preprocessor is not None:
+            h_feats = self.preprocessor(params["preprocessor"], h_feats)
+
+        # aggregation-time validity per offset k (same age algebra as
+        # BandedRingGCM._hop_masks; had_pred is baked into the band row)
+        slots = jnp.arange(N)[None, :]
+        age = jnp.mod(p[:, None] - slots, N)
+        horizon = jnp.minimum(t, N - 1)[:, None]
+        sink_alive = age <= horizon  # [B, N]
+
+        gnn_params = params["gnn"]
+        for ci, act in zip(self._conv_idx, self._acts):
+            cp = gnn_params[ci]
+            agg = jnp.zeros_like(h_feats)
+            for k in range(1, w + 1):
+                src_alive = age + k <= horizon
+                m = (band[:, :, k - 1]
+                     * (sink_alive & src_alive).astype(h_feats.dtype))
+                agg = agg + jnp.roll(h_feats, k, axis=1) * m[..., None]
+            out = (jnp.einsum("bnf,fo->bno", agg, cp["lin_rel"]["kernel"])
+                   + jnp.einsum("bnf,fo->bno", h_feats,
+                                cp["lin_root"]["kernel"]))
+            if "bias" in cp["lin_rel"]:
+                out = out + cp["lin_rel"]["bias"]
+            if act == "tanh":
+                out = jnp.tanh(out)
+            elif act == "relu":
+                out = jnp.maximum(out, 0.0)
+            h_feats = out
+
+        mx = h_feats[b_idx, p]
+        return mx, BandedScoredState(nodes, band, t + 1)
+
+    def scan(self, params, xs, state: BandedScoredState, key=None,
+             remat: bool = False, dones=None):
+        del key
+        from gcm_tpu.core.graph_state import reset_where
+
+        def step(carry, inp):
+            x, d = inp
+            out, new_state = self(params, x, carry)
+            if d is not None:
+                new_state = reset_where(new_state, d)
+            return new_state, out
+
+        if remat:
+            step = jax.checkpoint(step)
+        xs_t = jnp.swapaxes(xs, 0, 1)
+        if dones is None:
+            final_state, outs = jax.lax.scan(
+                lambda c, x: step(c, (x, None)), state, xs_t)
+        else:
+            final_state, outs = jax.lax.scan(
+                step, state, (xs_t, jnp.swapaxes(dones, 0, 1)))
+        return jnp.swapaxes(outs, 0, 1), final_state

@@ -96,3 +96,111 @@ class TestBandedRemat:
         for a, b in zip(jax.tree_util.tree_leaves(g_plain),
                         jax.tree_util.tree_leaves(g_remat)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+class TestBandedScoredParity:
+    """BandedScoredGCM ↔ DenseGCM exact parity for windowed distance
+    selectors (+ optional temporal hops) — the scored-band fast path."""
+
+    def _pair(self, distance_d, distance_b, hops=(), B=3, N=8, F=5, T=25,
+              window=3, preprocessor=False, obs=None, seed=0):
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+        obs = obs or F
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        pre = MLP([Linear(obs, F)]) if preprocessor else None
+        sels = ([TemporalBackedge(list(hops))] if hops else []) + [distance_d]
+        dense = DenseGCM(gnn, preprocessor=pre, graph_size=N,
+                         edge_selectors=(EdgeChain(sels) if len(sels) > 1
+                                         else sels[0]))
+        banded = BandedScoredGCM(gnn, distance=distance_b, preprocessor=pre,
+                                 hops=hops, window=window, graph_size=N)
+        dp = dense.init(jax.random.PRNGKey(seed))
+        bp = banded.init(jax.random.PRNGKey(seed))
+        bp["gnn"] = dp["gnn"]
+        if pre is not None:
+            bp["preprocessor"] = dp["preprocessor"]
+        if distance_b is not None and distance_b.learned:
+            sel_params = (dp["edge_selectors"][-1] if hops
+                          else dp["edge_selectors"])
+            bp["distance"] = sel_params
+        xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, obs))
+        outs_d, _ = dense.scan(dp, xs, dense.initial_state(B, obs))
+        outs_b, _ = banded.scan(bp, xs, banded.initial_state(B, obs))
+        return np.array(outs_d), np.array(outs_b)
+
+    def test_euclidean_windowed_exact(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        dd = EuclideanEdge(3.0)
+        dd.window = 3  # dense selector carries the same candidate window
+        d, b = self._pair(dd, EuclideanEdge(3.0), window=3)
+        assert np.allclose(d, b, atol=1e-5), np.abs(d - b).max()
+
+    def test_cosine_with_wraparound(self):
+        from gcm_tpu.edges.distance import CosineEdge
+
+        dd = CosineEdge(0.3)
+        dd.window = 2
+        d, b = self._pair(dd, CosineEdge(0.3), window=2, N=5, T=23)
+        assert np.allclose(d, b, atol=1e-5), np.abs(d - b).max()
+
+    def test_spatial_with_preprocessor(self):
+        from gcm_tpu.edges.distance import SpatialEdge
+
+        dd = SpatialEdge(0.8, a_pose_slice=slice(0, 2))
+        dd.window = 3
+        bb = SpatialEdge(0.8, a_pose_slice=slice(0, 2))
+        d, b = self._pair(dd, bb, window=3, obs=4, preprocessor=True)
+        assert np.allclose(d, b, atol=1e-5), np.abs(d - b).max()
+
+    def test_temporal_plus_distance_chain(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        dd = EuclideanEdge(2.5)
+        dd.window = 4
+        d, b = self._pair(dd, EuclideanEdge(2.5), hops=(1, 2), window=4)
+        assert np.allclose(d, b, atol=1e-5), np.abs(d - b).max()
+
+    def test_learned_scale(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        dd = EuclideanEdge(2.0, learned=True)
+        dd.window = 3
+        d, b = self._pair(dd, EuclideanEdge(2.0, learned=True), window=3)
+        assert np.allclose(d, b, atol=1e-5), np.abs(d - b).max()
+
+    def test_hops_only_matches_banded_ring(self):
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+        B, N, F, T = 2, 6, 4, 19
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        ring = BandedRingGCM(gnn, hops=(1, 2), graph_size=N)
+        scored = BandedScoredGCM(gnn, hops=(1, 2), window=2, graph_size=N)
+        params = ring.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        o1, _ = ring.scan(params, xs, ring.initial_state(B, F))
+        o2, _ = scored.scan(params, xs, scored.initial_state(B, F))
+        assert np.allclose(np.array(o1), np.array(o2), atol=1e-5)
+
+    def test_gradients_flow_to_gnn(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+        B, N, F, T = 2, 6, 4, 9
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        model = BandedScoredGCM(gnn, distance=EuclideanEdge(2.0), window=2,
+                                graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+
+        def loss(p):
+            outs, _ = model.scan(p, xs, model.initial_state(B, F))
+            return jnp.sum(outs ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
