@@ -42,7 +42,10 @@ DENSE_DEFAULT_CONFIG = {
     "preprocessor": None,
     "preprocessor_frozen": False,
     "use_prev_action": False,
-    "positional_encoding": None,  # None | 'add' | 'cat'
+    # None | 'add' | 'cat' | 'relative' ('relative' wires the reference's
+    # RelativePositionalEncoding, gcm.py:56-89, which the reference imports
+    # but never exposes in a config path; dense core only)
+    "positional_encoding": None,
     "positional_encoding_dim": 4,
 }
 
@@ -108,12 +111,57 @@ class GCMActorCritic:
 
     def _build_core(self):
         pe = None
-        if self.cfg["positional_encoding"]:
+        if self.cfg["positional_encoding"] == "relative":
+            from gcm_tpu.models.positional import RelativePositionalEncoding
+
+            assert self.cfg["core"] == "dense", (
+                "positional_encoding='relative' rolls the table by logical "
+                "position — supported on the dense core only")
+            pe = RelativePositionalEncoding(
+                max_len=self.cfg["graph_size"],
+                feat_dim=self.cfg["gnn_input_size"],
+            )
+        elif self.cfg["positional_encoding"]:
             pe = PositionalEncoding(
                 max_len=self.cfg["graph_size"],
                 mode=self.cfg["positional_encoding"],
                 cat_dim=self.cfg["positional_encoding_dim"],
                 feat_dim=self.cfg["gnn_input_size"],
+            )
+        if self.cfg["core"] == "banded_scored":
+            # windowed-distance fast path (BASELINE.md: wins at large
+            # graph_size; exact DenseGCM parity)
+            from gcm_tpu.edges.chain import EdgeChain
+            from gcm_tpu.edges.distance import Distance
+            from gcm_tpu.edges.temporal import TemporalBackedge
+            from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+            sel = self.cfg["edge_selectors"]
+            hops = ()
+            if isinstance(sel, EdgeChain):
+                assert (len(sel.selectors) == 2
+                        and isinstance(sel.selectors[0], TemporalBackedge)
+                        and isinstance(sel.selectors[1], Distance)), (
+                    "core='banded_scored' accepts a Distance selector or an "
+                    "EdgeChain([TemporalBackedge, Distance])")
+                hops = tuple(sel.selectors[0].hops)
+                dist = sel.selectors[1]
+            else:
+                assert isinstance(sel, Distance), (
+                    "core='banded_scored' needs a Distance edge selector "
+                    "(with window=) — got " + type(sel).__name__)
+                dist = sel
+            assert not (self.cfg["aux_edge_selectors"]
+                        or self.cfg["positional_encoding"]
+                        or self.cfg["pooled"] or self.cfg["edge_weights"]), (
+                "core='banded_scored' supports only the plain "
+                "distance(+temporal) configuration")
+            return BandedScoredGCM(
+                self._gnn(),
+                distance=dist,
+                preprocessor=_build_preprocessor(self.input_dim, self.cfg),
+                hops=hops,
+                graph_size=self.cfg["graph_size"],
             )
         if self.cfg["core"] == "banded":
             # temporal fast path: requires a deterministic forward

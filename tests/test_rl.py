@@ -302,3 +302,64 @@ class TestGradNormAux:
         assert len(norm_keys) >= 4, metrics.keys()
         for k in norm_keys:
             assert np.isfinite(float(metrics[k]))
+
+
+class TestBandedScoredWrapper:
+    def test_matches_dense_with_windowed_distance(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        env = RecallEnv()
+        dd = EuclideanEdge(2.0, window=3)
+        dense = make_policy(env, core="dense", edge_selectors=dd)
+        scored = make_policy(env, core="banded_scored",
+                             edge_selectors=EuclideanEdge(2.0, window=3))
+        dp = dense.init(jax.random.PRNGKey(0))
+        bp = scored.init(jax.random.PRNGKey(0))
+        bp["core"] = {"gnn": dp["core"]["gnn"],
+                      "preprocessor": dp["core"]["preprocessor"]}
+        bp["logit"], bp["value"] = dp["logit"], dp["value"]
+        B, T = 2, env.horizon + 3
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        ld, vd, _ = dense(dp, obs, dense.initial_state(B))
+        lb, vb, _ = scored(bp, obs, scored.initial_state(B))
+        assert np.allclose(np.array(ld), np.array(lb), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vb), atol=1e-5)
+
+    def test_chain_config_and_bad_config(self):
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.distance import CosineEdge
+
+        env = RecallEnv()
+        pol = make_policy(
+            env, core="banded_scored",
+            edge_selectors=EdgeChain([TemporalBackedge([1]),
+                                      CosineEdge(0.3, window=2)]))
+        params = pol.init(jax.random.PRNGKey(0))
+        obs = jnp.ones((2, 4, env.obs_dim))
+        logits, values, _ = pol(params, obs, pol.initial_state(2))
+        assert np.isfinite(np.array(logits)).all()
+        with pytest.raises(AssertionError, match="Distance"):
+            make_policy(env, core="banded_scored",
+                        edge_selectors=TemporalBackedge([1]))
+
+
+class TestRelativePEConfig:
+    def test_relative_pe_step_matches_scan(self):
+        env = RecallEnv()
+        pol = make_policy(env, core="dense", positional_encoding="relative")
+        params = pol.init(jax.random.PRNGKey(0))
+        B, T = 2, 5
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        prev = jnp.zeros((B, T), jnp.int32)
+        ls, vs, _ = pol(params, obs, pol.initial_state(B),
+                        prev_actions=prev)
+        state = pol.initial_state(B)
+        for t in range(T):
+            lg, v, state = pol.step(params, obs[:, t], state,
+                                    prev_action=prev[:, t])
+            assert np.allclose(np.array(lg), np.array(ls[:, t]), atol=1e-5)
+
+    def test_relative_pe_requires_dense_core(self):
+        env = RecallEnv()
+        with pytest.raises(AssertionError, match="relative"):
+            make_policy(env, core="ring", positional_encoding="relative")

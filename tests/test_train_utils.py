@@ -90,3 +90,54 @@ class TestShardedCheckpoint:
                 assert np.allclose(np.array(a), np.array(b))
                 # restored arrays carry the same sharding
                 assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
+
+
+class TestResilientTraining:
+    """Crash-resume training driver (train/resilient.py) — closes the
+    SURVEY.md §5 'failure detection / elastic recovery' gap (the reference
+    has none; fixed-shape serializable state is its only primitive)."""
+
+    def _trainer(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.rl.a2c import A2C
+        from gcm_tpu.rl.env import RecallEnv
+        from gcm_tpu.rl.wrappers import GCMActorCritic
+
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+        pol = GCMActorCritic(env.obs_dim, env.num_actions, env.num_actions,
+                             graph_size=env.horizon + 1, gnn_input_size=8,
+                             gnn_output_size=8,
+                             edge_selectors=TemporalBackedge([1]))
+        return A2C(env, pol)
+
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        import jax
+
+        from gcm_tpu.train.resilient import train_resilient
+
+        # uninterrupted: 6 updates
+        p_full, _ = train_resilient(
+            self._trainer(), str(tmp_path / "full"), updates=6, B=4,
+            key=jax.random.PRNGKey(7), checkpoint_every=2)
+        # crash after 4, then restart asking for 6 — resumes at 4
+        p_a, _ = train_resilient(
+            self._trainer(), str(tmp_path / "crashed"), updates=4, B=4,
+            key=jax.random.PRNGKey(7), checkpoint_every=2)
+        p_b, hist = train_resilient(
+            self._trainer(), str(tmp_path / "crashed"), updates=6, B=4,
+            key=jax.random.PRNGKey(7), checkpoint_every=2)
+        assert len(hist) == 2  # only the 2 post-resume updates ran
+        for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                        jax.tree_util.tree_leaves(p_b)):
+            assert np.array_equal(np.array(a), np.array(b))
+
+    def test_fresh_start_when_no_checkpoint(self, tmp_path):
+        import jax
+
+        from gcm_tpu.train.resilient import train_resilient
+
+        p, hist = train_resilient(
+            self._trainer(), str(tmp_path / "fresh"), updates=3, B=4,
+            key=jax.random.PRNGKey(0), checkpoint_every=10)
+        assert len(hist) == 3
+        assert all(np.isfinite(h) for h in hist)
