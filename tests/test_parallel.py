@@ -137,3 +137,51 @@ class TestGraftEntry:
         out, state = jax.jit(fn)(*args)
         assert out.shape == (32, 32)
         assert np.isfinite(np.array(out)).all()
+
+
+class TestBandedPartition:
+    """Node-sharded BandedRingGCM scan (parallel/banded_partition.py) —
+    exact parity with the unsharded scan on the virtual mesh; the CP-analog
+    ring-halo design from SURVEY.md N6."""
+
+    def _model(self, hops, N, F=4):
+        from gcm_tpu.models.banded_gcm import BandedRingGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+        from gcm_tpu.nn.module import MLP, Linear
+
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        return BandedRingGCM(gnn, preprocessor=MLP([Linear(F, F)]),
+                             hops=hops, graph_size=N)
+
+    def _run(self, hops, N, d, B=2, F=4, T=None):
+        from gcm_tpu.parallel.banded_partition import (banded_scan_sharded,
+                                                       shard_banded_state)
+        from gcm_tpu.parallel.mesh import make_mesh
+
+        T = T or (2 * N + 3)  # wraps past capacity
+        model = self._model(hops, N, F)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        want, ws = model.scan(params, xs, model.initial_state(B, F))
+
+        mesh = make_mesh(dp=d, tp=1, devices=jax.devices()[:d])
+        # reuse the dp axis name as the node-shard axis
+        scan = banded_scan_sharded(model, mesh, axis="dp")
+        state = shard_banded_state(model.initial_state(B, F), mesh,
+                                   axis="dp")
+        got, gs = jax.jit(scan, static_argnums=())(params, xs, state)
+        assert np.allclose(np.array(want), np.array(got), atol=1e-5), (
+            np.abs(np.array(want) - np.array(got)).max())
+        assert np.allclose(np.array(ws.nodes), np.array(gs.nodes),
+                           atol=1e-6)
+
+    def test_single_hop_8way(self):
+        self._run((1,), N=16, d=8)
+
+    def test_multi_hop_4way(self):
+        self._run((1, 2), N=16, d=4)
+
+    def test_hop_at_halo_boundary(self):
+        # max hop == shard width: halo is the entire neighbor block
+        self._run((2,), N=8, d=4)
