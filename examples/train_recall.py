@@ -37,9 +37,16 @@ def build_policy(env, sparse: bool, core: str = "dense"):
                                     env.num_actions,
                                     edge_selectors=TemporalEdge([1]),
                                     max_edges=64, **cfg)
+    if core == "banded_scored":
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        sel = EdgeChain([TemporalBackedge([1]),
+                         EuclideanEdge(1.0, window=4)])
+    else:
+        sel = TemporalBackedge([1])
     return GCMActorCritic(env.obs_dim, env.num_actions, env.num_actions,
-                          edge_selectors=TemporalBackedge([1]), core=core,
-                          **cfg)
+                          edge_selectors=sel, core=core, **cfg)
 
 
 def evaluate(env, policy, params, key, B=64):
@@ -63,7 +70,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sparse", action="store_true")
     ap.add_argument("--core", default="dense",
-                    choices=["dense", "ring", "banded"])
+                    choices=["dense", "ring", "banded", "banded_scored"])
     ap.add_argument("--ppo", action="store_true")
     ap.add_argument("--env", default="recall", choices=["recall", "tmaze"])
     ap.add_argument("--updates", type=int, default=400)
