@@ -272,9 +272,11 @@ class RingDenseGCM:
         mx = node_feats if self.pooled else node_feats[b_idx, p]
         return mx, RingGraphState(nodes, adj, weights, t + 1)
 
-    def scan(self, params, xs, state: RingGraphState, key=None, dones=None):
+    def scan(self, params, xs, state: RingGraphState, key=None, dones=None,
+             remat=False):
         """dones: optional [B, T] episode terminations — wipes the memory of
-        finished episodes after each step (see DenseGCM.scan)."""
+        finished episodes after each step (see DenseGCM.scan). remat: see
+        DenseGCM.scan."""
         from gcm_tpu.models.dense_gcm import _scan_with_resets
 
-        return _scan_with_resets(self, params, xs, state, key, dones)
+        return _scan_with_resets(self, params, xs, state, key, dones, remat)

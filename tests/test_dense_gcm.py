@@ -246,3 +246,27 @@ class TestJit:
         # identity 2-layer self+neighbor conv with edge 1<-0:
         # layer1: h0 = 1, h1 = 1 + 2 = 3; layer2: g1 = h0 + h1 = 4
         assert np.allclose(np.array(out2), 4.0)
+
+
+class TestScanRemat:
+    def test_remat_outputs_and_grads_match(self):
+        """scan(remat=True) must be gradient-exact vs the plain scan (the
+        checkpoint only changes the backward schedule, never values)."""
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        m = readme_dense_gcm(obs_size=4, hidden=8, graph_size=8)
+        p = m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 4))
+
+        def loss(p, remat):
+            o, _ = m.scan(p, xs, m.initial_state(2, 4), remat=remat)
+            return jnp.sum(o ** 2)
+
+        o0, _ = m.scan(p, xs, m.initial_state(2, 4))
+        o1, _ = m.scan(p, xs, m.initial_state(2, 4), remat=True)
+        assert np.array_equal(np.array(o0), np.array(o1))
+        g0 = jax.grad(lambda p: loss(p, False))(p)
+        g1 = jax.grad(lambda p: loss(p, True))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
