@@ -170,3 +170,83 @@ class TestSpMMPairs:
         # double transpose undoes the pair swap but leaves rows swapped twice
         assert np.array_equal(np.array(fe2), np.array(be))
         assert np.array_equal(np.array(fw2), np.array(bw))
+
+
+class TestSpMMSlots:
+    """Degree-bounded sink-slot SpMM (ops/pallas/spmm_slots.py) — parity vs
+    the XLA scatter in interpret mode, incl. gradients and overflow guard."""
+
+    def _graph(self, B=2, N=256, E=256, F=32, seed=0):
+        sink = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, E), 0, N)
+        src = jax.random.randint(jax.random.PRNGKey(seed + 2), (B, E), 0, N)
+        edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+        w = jax.random.uniform(jax.random.PRNGKey(seed + 3), (B, E)) + 0.5
+        x = jax.random.normal(jax.random.PRNGKey(seed + 4), (B, N, F))
+        return x, edges, w
+
+    def test_matches_scatter_fallback(self):
+        from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
+                                                   check_slot_overflow,
+                                                   spmm_slots)
+
+        x, edges, w = self._graph()
+        srcs, ws, counts = bucket_sink_slots(edges, w, 256, 8)
+        check_slot_overflow(counts, 8)
+        want = edge_scatter_add(x, edges, w)
+        got = spmm_slots(x, srcs, ws, 256, 8)
+        assert np.allclose(np.array(got), np.array(want), atol=1e-4)
+
+    def test_temporal_hop_graph_k_equals_hops(self):
+        """The structural-bound case: hop-{1,2} temporal edges need k=2."""
+        from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
+                                                   check_slot_overflow,
+                                                   spmm_slots)
+
+        B, N, F = 2, 256, 16
+        sinks = jnp.broadcast_to(jnp.arange(N)[None, :], (B, N))
+        e1 = jnp.stack([sinks, jnp.maximum(sinks - 1, 0)], axis=1)
+        e2 = jnp.stack([sinks, jnp.maximum(sinks - 2, 0)], axis=1)
+        edges = jnp.concatenate([e1, e2], axis=-1).astype(jnp.int32)
+        w = jnp.ones((B, 2 * N))
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, F))
+        srcs, ws, counts = bucket_sink_slots(edges, w, N, 2)
+        check_slot_overflow(counts, 2)  # k = len(hops), never overflows
+        want = edge_scatter_add(x, edges, w)
+        got = spmm_slots(x, srcs, ws, N, 2)
+        assert np.allclose(np.array(got), np.array(want), atol=1e-4)
+
+    def test_gradients(self):
+        from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
+                                                   spmm_slots)
+
+        x, edges, w = self._graph(B=1, N=128, E=64, F=8)
+        srcs, ws, _ = bucket_sink_slots(edges, w, 128, 8)
+
+        def loss_slots(xx, ww):
+            return jnp.sum(spmm_slots(xx, srcs, ww, 128, 8) ** 2)
+
+        def loss_ref(xx, ww):
+            return jnp.sum(edge_scatter_add(xx, edges, ww) ** 2)
+
+        gx, gw = jax.grad(loss_slots, argnums=(0, 1))(x, ws)
+        rx, _ = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        assert np.allclose(np.array(gx), np.array(rx), atol=1e-3)
+        assert np.isfinite(np.array(gw)).all()
+        # empty slots (weight 0) are sentinels in the recovered edge list,
+        # so their grad is exactly 0
+        assert (np.array(gw)[np.array(ws) == 0.0] == 0).all()
+
+    def test_overflow_detected(self):
+        import pytest
+
+        from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
+                                                   check_slot_overflow)
+
+        B, N = 1, 128
+        # 10 edges into one sink: k=4 overflows
+        sinks = jnp.full((B, 10), 5, jnp.int32)
+        srcs_ = jnp.arange(10, dtype=jnp.int32)[None, :]
+        edges = jnp.stack([sinks, srcs_], axis=1)
+        _, _, counts = bucket_sink_slots(edges, jnp.ones((B, 10)), N, 4)
+        with pytest.raises(ValueError, match="overflow"):
+            check_slot_overflow(counts, 4)
