@@ -325,10 +325,13 @@ def bench_learned_edge(B=32, obs=8, hidden=32, N=128, T_lo=64, T_hi=256):
     return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=43)
 
 
-def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=4, n_hi=48):
+def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=8, n_hi=408):
     """BASELINE.json config 5b: NavGCM rollout (reference nav_gcm.py:237-263,
     radius edges recomputed from geometry each call, causal mode). Chained
-    windows of tau steps; slope over window count."""
+    windows of tau steps; slope over window count. A window costs ~25 us on
+    TPU, so the spread must be hundreds of windows for the signal to clear
+    the tunnel's ms-scale jitter (windows beyond the vertex capacity keep
+    the same static per-window program — fine for timing)."""
     import functools
 
     from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM
