@@ -171,14 +171,13 @@ def bucket_edges_pairs(edges, weights, num_nodes: int, cap: int):
     B, _, E = edges.shape
     nw = num_nodes // W
     P = nw * nw
+    from gcm_tpu.ops.scatter import bucket_rank
+
     valid = edge_mask(edges)
     ks = jnp.clip(edges[:, 0, :] // W, 0, nw - 1)
     kc = jnp.clip(edges[:, 1, :] // W, 0, nw - 1)
     pair = jnp.where(valid, ks * nw + kc, P)                   # [B, E]
-    oh = pair[..., None] == jnp.arange(P)[None, None, :]       # [B, E, P]
-    rank = jnp.cumsum(oh, axis=1) - oh.astype(jnp.int32)       # exclusive
-    myrank = jnp.take_along_axis(
-        rank, jnp.minimum(pair, P - 1)[..., None], axis=-1)[..., 0]
+    myrank = bucket_rank(pair)  # sort-based: no [B, E, P] blowup
     dest = jnp.where(valid & (myrank < cap), pair * cap + myrank, P * cap)
     bi = jnp.arange(B)[:, None]
     be = jnp.full((B, 2, P * cap + 1), -1, jnp.int32)
@@ -186,7 +185,9 @@ def bucket_edges_pairs(edges, weights, num_nodes: int, cap: int):
     be = be.at[bi, 1, dest].set(jnp.where(valid, edges[:, 1, :], -1))
     bw = jnp.zeros((B, P * cap + 1), weights.dtype)
     bw = bw.at[bi, dest].set(jnp.where(valid, weights, 0.0))
-    counts = jnp.sum(oh, axis=1)
+    cnt = jnp.zeros((B, P + 1), jnp.int32)
+    cnt = cnt.at[bi, jnp.minimum(pair, P)].add(1)
+    counts = cnt[:, :P]
     return be[:, :, :-1], bw[:, :-1], counts
 
 

@@ -111,11 +111,9 @@ def bucket_sink_slots(edges, weights, num_nodes: int, k: int):
     valid = (snk >= 0) & (src >= 0)
     kc = jnp.clip(src // W, 0, nw - 1)
     keyid = jnp.where(valid, snk * nw + kc, num_nodes * nw)   # [B, E]
-    oh = keyid[:, :, None] == jnp.arange(num_nodes * nw)[None, None, :]
-    rank = jnp.cumsum(oh, axis=1) - oh                         # exclusive
-    myrank = jnp.take_along_axis(
-        rank, jnp.minimum(keyid, num_nodes * nw - 1)[..., None],
-        axis=-1)[..., 0]
+    from gcm_tpu.ops.scatter import bucket_rank
+
+    myrank = bucket_rank(keyid)
     p = jnp.clip(snk // W, 0, nw - 1) * nw + kc
     lane = jnp.where(valid, snk, 0) % W
     dest = jnp.where(valid & (myrank < k),
@@ -127,7 +125,10 @@ def bucket_sink_slots(edges, weights, num_nodes: int, k: int):
     ws = jnp.zeros((B, P * k * W + 1), weights.dtype)
     ws = ws.at[bi, dest].set(jnp.where(valid, weights, 0.0))
     ws = ws[:, :-1].reshape(B, P, k, W)
-    counts = jnp.sum(oh, axis=1).reshape(B, num_nodes, nw)
+    # per-bucket occupancy (overflow check only — not the hot path)
+    cnt = jnp.zeros((B, num_nodes * nw + 1), jnp.int32)
+    cnt = cnt.at[bi, jnp.minimum(keyid, num_nodes * nw)].add(1)
+    counts = cnt[:, :-1].reshape(B, num_nodes, nw)
     return srcs, ws, counts
 
 

@@ -140,6 +140,24 @@ def edge_scatter_max(
     return jnp.where(out == neg, jnp.asarray(fill, x.dtype), out)
 
 
+def bucket_rank(keyid):
+    """Per-lane rank within its key group (count of EARLIER lanes with the
+    same key), stable. Sort-based — O(E log E) per batch with O(E) memory,
+    instead of the [B, E, num_keys] one-hot cumsum whose memory blows up
+    with the key count. keyid: [B, E] int32. Returns [B, E] int32."""
+    B, E = keyid.shape
+    order = jnp.argsort(keyid, axis=-1, stable=True)           # [B, E]
+    ks = jnp.take_along_axis(keyid, order, axis=-1)
+    pos = jnp.arange(E, dtype=jnp.int32)[None, :]
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=-1)
+    seg_start = jax.lax.cummax(jnp.where(first, pos, -1), axis=1)
+    rank_sorted = pos - seg_start                              # [B, E]
+    # scatter ranks back to original lane order via the inverse permutation
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(rank_sorted, inv, axis=-1)
+
+
 def nonzero_padded(mask: jax.Array, k: int):
     """Indices of True entries of `mask [B, M]`, padded to `k` per batch.
 
