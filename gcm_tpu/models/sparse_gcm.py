@@ -58,6 +58,8 @@ class SparseGCM:
         max_hops: int | None = None,
         positional_encoder=None,
         validate: bool = False,
+        aggregation: str = "auto",
+        slot_k: int | None = None,
     ):
         self.gnn = gnn
         self.preprocessor = preprocessor
@@ -68,6 +70,19 @@ class SparseGCM:
         self.max_hops = max_hops
         self.positional_encoder = positional_encoder
         self.validate = validate
+        # aggregation="slots": route the GNN aggregation through the
+        # degree-bounded sink-slot kernel (ops/pallas/spmm_slots.py) — the
+        # fast path when the selector gives a structural per-(sink,
+        # src-window) degree bound (TemporalEdge: len(hops); sampled learned
+        # selectors: num_edge_samples). slot_k is that bound; overflowing
+        # edges would be dropped, so pick it from selector structure.
+        assert aggregation in ("auto", "slots")
+        if aggregation == "slots":
+            assert slot_k is not None, "aggregation='slots' needs slot_k"
+            assert graph_size % 128 == 0, (
+                "slot aggregation needs graph_size % 128 == 0")
+        self.aggregation = aggregation
+        self.slot_k = slot_k
 
     # -- params ------------------------------------------------------------
     def init(self, key):
@@ -214,8 +229,18 @@ class SparseGCM:
         gnn_edges, gnn_weights = edges, weights
         if self.max_hops is not None:
             gnn_edges = self._k_hop_edge_mask(edges, new_mask, rows, N)
-        node_feats = self.gnn(params["gnn"], dirty_nodes, gnn_edges,
-                              gnn_weights)
+        if self.aggregation == "slots":
+            from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
+                                                       spmm_slots)
+
+            srcs, ws_l, _ = bucket_sink_slots(gnn_edges, gnn_weights, N,
+                                              self.slot_k)
+            node_feats = self.gnn(
+                params["gnn"], dirty_nodes, gnn_edges, gnn_weights,
+                agg_fn=lambda xx: spmm_slots(xx, srcs, ws_l, N, self.slot_k))
+        else:
+            node_feats = self.gnn(params["gnn"], dirty_nodes, gnn_edges,
+                                  gnn_weights)
 
         # gather outputs at the new rows; padding stays zero
         # (sparse_gcm.py:205-208)

@@ -46,11 +46,17 @@ class GraphConv:
         return {"lin_rel": self.lin_rel.init(k1),
                 "lin_root": self.lin_root.init(k2)}
 
-    def __call__(self, params, x, edges, weights=None):
+    def __call__(self, params, x, edges, weights=None, agg_fn=None):
         from gcm_tpu.ops.dispatch import spmm
 
         N = x.shape[1]
-        if self.aggr == "max":
+        if agg_fn is not None:
+            # precomputed aggregation backend (e.g. the degree-bounded
+            # slot kernel, ops/pallas/spmm_slots.py): layout is shared
+            # across layers, only the features change
+            assert self.aggr == "add", "agg_fn supports aggr='add' only"
+            agg = agg_fn(x)
+        elif self.aggr == "max":
             agg = edge_scatter_max(x, edges, num_nodes=N)
         else:
             if weights is None:
@@ -139,10 +145,15 @@ class SparseGNN:
                 params.append({})
         return params
 
-    def __call__(self, params, x, edges, weights=None):
+    def __call__(self, params, x, edges, weights=None, agg_fn=None):
         for layer, p in zip(self.layers, params):
             if hasattr(layer, "init"):
-                x = layer(p, x, edges, weights)
+                if agg_fn is not None:
+                    assert isinstance(layer, GraphConv), (
+                        "slot aggregation supports GraphConv stacks")
+                    x = layer(p, x, edges, weights, agg_fn=agg_fn)
+                else:
+                    x = layer(p, x, edges, weights)
             else:
                 x = layer(x)
         return x

@@ -497,3 +497,66 @@ class TestSparsePositionalEncoder:
         whole, _ = model(params, xs, taus, model.initial_state(B, F))
         step, _ = model.scan(params, xs, model.initial_state(B, F))
         assert np.allclose(np.array(whole), np.array(step), atol=1e-5)
+
+
+class TestSlotAggregation:
+    """aggregation='slots' (degree-bounded sink-slot SpMM backend,
+    ops/pallas/spmm_slots.py) must match the default aggregation exactly
+    when slot_k covers the selector's structural degree bound."""
+
+    def _models(self, hops, slot_k, N=128, F=8):
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+        from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+        def gnn():
+            return SparseGNN([GraphConv(F, F), jnp.tanh,
+                              GraphConv(F, F), jnp.tanh])
+        base = SparseGCM(gnn(), graph_size=N, max_edges=4 * N,
+                         edge_selectors=TemporalEdge(list(hops)))
+        slots = SparseGCM(gnn(), graph_size=N, max_edges=4 * N,
+                          edge_selectors=TemporalEdge(list(hops)),
+                          aggregation="slots", slot_k=slot_k)
+        return base, slots
+
+    def test_matches_default_aggregation(self):
+        base, slots = self._models((1, 2), slot_k=2)
+        params = base.init(jax.random.PRNGKey(0))
+        B, T, F = 2, 20, 8
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        taus = jnp.full((B,), T, jnp.int32)
+        o1, s1 = base(params, xs, taus, base.initial_state(B, F))
+        o2, s2 = slots(params, xs, taus, slots.initial_state(B, F))
+        assert np.allclose(np.array(o1), np.array(o2), atol=1e-4), (
+            np.abs(np.array(o1) - np.array(o2)).max())
+
+    def test_gradients_match(self):
+        base, slots = self._models((1,), slot_k=1)
+        params = base.init(jax.random.PRNGKey(0))
+        B, T, F = 2, 8, 8
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        taus = jnp.full((B,), T, jnp.int32)
+
+        def loss(model, p):
+            o, _ = model(p, xs, taus, model.initial_state(B, F))
+            return jnp.sum(o ** 2)
+
+        g1 = jax.grad(lambda p: loss(base, p))(params)
+        g2 = jax.grad(lambda p: loss(slots, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-3)
+
+    def test_config_validation(self):
+        import pytest
+
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+        from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+        gnn = SparseGNN([GraphConv(4, 4)])
+        with pytest.raises(AssertionError, match="slot_k"):
+            SparseGCM(gnn, graph_size=128, max_edges=16,
+                      edge_selectors=TemporalEdge([1]), aggregation="slots")
+        with pytest.raises(AssertionError, match="128"):
+            SparseGCM(gnn, graph_size=64, max_edges=16,
+                      edge_selectors=TemporalEdge([1]),
+                      aggregation="slots", slot_k=1)
