@@ -50,3 +50,41 @@ class TemporalEdge:
             # episode-aware replay: drop edges that cross episode boundaries
             grid = grid * seg_mask.astype(grid.dtype)
         return grid, {}
+
+    def emit_edges(self, params, nodes, T, taus, t, key=None, seg_mask=None):
+        """Direct edge emission — the grid-free fast path.
+
+        Temporal edges are known analytically (sink = T+i, source = sink−h,
+        reference sparse temporal.py:34-63), so building a [B, t, N] grid
+        and compacting it is pure overhead; this emits the K = t·len(hops)
+        edges directly. Ordering matches the grid path bitwise: per new node
+        i, sources ascending (hops descending).
+
+        Returns (new_edges [B, 2, K], weights [B, K], valid [B, K], aux).
+        """
+        del params, key
+        B, N, _ = nodes.shape
+        i = jnp.arange(t)[None, :]                    # [1, t]
+        sink_t = T[:, None] + i                       # [B, t]
+        new_valid = i < taus[:, None]
+        hops_desc = sorted(self.hops, reverse=True)
+        sinks, srcs, valids = [], [], []
+        for h in hops_desc:
+            src = sink_t - h
+            ok = new_valid & (src >= 0) & (sink_t > 0)
+            if seg_mask is not None:
+                # same-episode constraint: look up seg_mask[b, i, src]
+                safe = jnp.clip(src, 0, seg_mask.shape[-1] - 1)
+                ok = ok & jnp.take_along_axis(seg_mask, safe[:, :, None],
+                                              axis=2)[:, :, 0]
+            sinks.append(sink_t)
+            srcs.append(src)
+            valids.append(ok)
+        # interleave per-i: stack [H, B, t] -> [B, t, H] -> [B, t*H]
+        st_ = jnp.stack(sinks, axis=-1).reshape(B, -1)
+        sr_ = jnp.stack(srcs, axis=-1).reshape(B, -1)
+        ok_ = jnp.stack(valids, axis=-1).reshape(B, -1)
+        new_e = jnp.stack([jnp.where(ok_, st_, -1),
+                           jnp.where(ok_, sr_, -1)], axis=1)
+        w = jnp.ones((B, new_e.shape[-1]), nodes.dtype)
+        return new_e, w, ok_, {}

@@ -193,16 +193,36 @@ class SparseGCM:
             )
             return edges, weights, num_edges
 
+        def append_emitted(edges, weights, num_edges, new_e, vals, valid):
+            """Append directly-emitted edges (the grid-free selector fast
+            path) with the same weight normalization as append_grid."""
+            vals = jnp.where(valid, grad_preserving_ones(
+                jnp.where(valid, vals, 1.0)), 1.0)
+            edges, weights, num_edges, _ = append_edges(
+                edges, weights, num_edges, new_e, vals, valid)
+            return edges, weights, num_edges
+
         if self.edge_selectors is not None:
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
-            grid, sel_aux = run_selector(
-                self.edge_selectors, params["edge_selectors"], dirty_nodes, sub
-            )
-            aux.update(sel_aux)
-            edges, weights, num_edges = append_grid(edges, weights, num_edges,
-                                                    grid)
+            if hasattr(self.edge_selectors, "emit_edges"):
+                # grid-free fast path: selectors whose edges are known
+                # analytically skip the [B, t, N] grid + compaction
+                kw = {} if seg_mask is None else {"seg_mask": seg_mask}
+                new_e, vals, valid, sel_aux = self.edge_selectors.emit_edges(
+                    params["edge_selectors"], dirty_nodes, T, taus, t,
+                    key=sub, **kw)
+                aux.update(sel_aux)
+                edges, weights, num_edges = append_emitted(
+                    edges, weights, num_edges, new_e, vals, valid)
+            else:
+                grid, sel_aux = run_selector(
+                    self.edge_selectors, params["edge_selectors"],
+                    dirty_nodes, sub)
+                aux.update(sel_aux)
+                edges, weights, num_edges = append_grid(
+                    edges, weights, num_edges, grid)
 
         if self.preprocessor is not None:
             dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)

@@ -560,3 +560,55 @@ class TestSlotAggregation:
             SparseGCM(gnn, graph_size=64, max_edges=16,
                       edge_selectors=TemporalEdge([1]),
                       aggregation="slots", slot_k=1)
+
+
+class TestEmitEdgesFastPath:
+    """TemporalEdge.emit_edges (grid-free) must produce BITWISE-identical
+    state and outputs to the [B,t,N]-grid path."""
+
+    class _GridOnly:
+        """Wrap a selector, hiding emit_edges so the core takes the grid
+        path."""
+
+        def __init__(self, sel):
+            self._sel = sel
+
+        def init(self, key):
+            return self._sel.init(key)
+
+        def __call__(self, *a, **kw):
+            return self._sel(*a, **kw)
+
+    def _run(self, hops, dones=None, T_steps=14, N=16):
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+        from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+        B, F = 2, 5
+        outs = []
+        for wrap in (False, True):
+            sel = TemporalEdge(list(hops))
+            if wrap:
+                sel = self._GridOnly(sel)
+            gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+            m = SparseGCM(gnn, graph_size=N, max_edges=4 * N,
+                          edge_selectors=sel)
+            params = m.init(jax.random.PRNGKey(0))
+            xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_steps, F))
+            taus = jnp.full((B,), T_steps, jnp.int32)
+            o, st = m(params, xs, taus, m.initial_state(B, F), dones=dones)
+            outs.append((o, st))
+        return outs
+
+    def test_bitwise_identical_to_grid_path(self):
+        (o1, s1), (o2, s2) = self._run((1, 3))
+        assert np.array_equal(np.array(o1), np.array(o2))
+        assert np.array_equal(np.array(s1.edges), np.array(s2.edges))
+        assert np.array_equal(np.array(s1.weights), np.array(s2.weights))
+        assert np.array_equal(np.array(s1.num_edges), np.array(s2.num_edges))
+
+    def test_identical_with_mid_window_dones(self):
+        B, T_steps = 2, 14
+        dones = jnp.zeros((B, T_steps), bool).at[:, 5].set(True)
+        (o1, s1), (o2, s2) = self._run((1, 2), dones=dones)
+        assert np.array_equal(np.array(o1), np.array(o2))
+        assert np.array_equal(np.array(s1.edges), np.array(s2.edges))
