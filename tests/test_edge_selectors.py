@@ -275,3 +275,59 @@ class TestLearnedTemporalStochastic:
         g = jax.grad(loss)(params)
         assert np.isfinite(np.array(g["window"])).all()
         assert np.abs(np.array(g["window"])).sum() > 0
+
+
+class TestStochasticInvariants:
+    """Distributional invariants of the stochastic selector paths (driven on
+    TPU in round 2; pinned here as CPU tests): key-reproducibility,
+    key-sensitivity, and the num_edge_samples edge budget."""
+
+    def _run(self, key, num_edge_samples=3):
+        from gcm_tpu.edges.learned import LearnedEdge
+        from gcm_tpu.models.dense_gcm import DenseGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        F, N, B, T = 6, 12, 3, 9
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        m = DenseGCM(gnn, graph_size=N,
+                     edge_selectors=LearnedEdge(
+                         input_size=F, deterministic=False,
+                         num_edge_samples=num_edge_samples))
+        params = m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        outs, state = m.scan(params, xs, m.initial_state(B, F), key=key)
+        return np.array(outs), np.array(state.adj)
+
+    def test_fixed_key_reproducible(self):
+        o1, a1 = self._run(jax.random.PRNGKey(7))
+        o2, a2 = self._run(jax.random.PRNGKey(7))
+        assert np.array_equal(o1, o2) and np.array_equal(a1, a2)
+
+    def test_key_sensitivity(self):
+        o1, a1 = self._run(jax.random.PRNGKey(7))
+        o2, a2 = self._run(jax.random.PRNGKey(8))
+        assert not np.array_equal(a1, a2)
+
+    def test_learned_window_budget(self):
+        """Learned TemporalBackedge: at most learning_window backedges per
+        step are sampleable (the window parameter bounds the support)."""
+        from gcm_tpu.models.dense_gcm import DenseGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        F, N, B, T, W_ = 4, 10, 2, 8, 3
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        m = DenseGCM(gnn, graph_size=N,
+                     edge_selectors=TemporalBackedge(
+                         [1], learned=True, learning_window=W_,
+                         num_samples=2))
+        params = m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        _, state = m.scan(params, xs, m.initial_state(B, F),
+                          key=jax.random.PRNGKey(2))
+        adj = np.array(state.adj)
+        # the learned mask scores window params over ABSOLUTE slots
+        # [0, min(num_nodes, W)) — the reference writes
+        # adj[b][num_nodes][:num_nodes] += mask with a W-sized param vector
+        # (temporal.py:51-70), so no edge can have a source column >= W
+        assert (adj[:, :, W_:] == 0).all()
+        assert adj.sum() > 0  # and the sampler does write edges
