@@ -23,7 +23,10 @@ from gcm_tpu.edges.sparse_spatial import (
     SpatialRadiusEdge,
 )
 from gcm_tpu.edges.sparse_temporal import TemporalEdge
-from gcm_tpu.models.banded_gcm import BandedRingGCM, BandedState
+from gcm_tpu.models.banded_gcm import (BandedRingGCM,
+                                       BandedScoredGCM,
+                                       BandedScoredState,
+                                       BandedState)
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
 from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM, NavState
@@ -44,6 +47,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BandedRingGCM",
+    "BandedScoredGCM",
+    "BandedScoredState",
     "BandedState",
     "RingDenseGCM",
     "RingGraphState",
