@@ -142,3 +142,93 @@ class LearnedEdge:
             "temperature": tau_temp,
         }
         return grid, aux
+
+    # -- grid-free window-space path ----------------------------------------
+    @property
+    def supports_emit(self):
+        """emit_edges needs the candidate window to bound the score width."""
+        return self.window is not None
+
+    def emit_profitable(self, t, N):
+        """Measured dispatch gate (TPU v5e, whole forward window, B=32
+        Tw=32 window=16): window-space scoring wins 2.6x at N=512
+        (w'/N ≈ 0.09) but LOSES 25% at N=128 (w'/N ≈ 0.38) — the extra
+        window gather + wider append outweigh the saved scoring until the
+        window is a small fraction of the graph. Gate at N ≥ 4·w'."""
+        if self.window is None:
+            return False
+        wp = min(self.window + t, N)
+        return N >= 4 * wp
+
+    def emit_edges(self, params, nodes, T, taus, t, key=None, seg_mask=None):
+        """Window-space scoring + direct edge emission.
+
+        With a candidate window, every sink T+i draws sources from
+        [max(T−window, 0), T+i) — a band of width ≤ window + t independent
+        of graph_size. Scoring/softmax run on the gathered [B, w', F] window
+        instead of all N nodes (same pair MLP, same masked softmax over the
+        same candidate set → same probabilities up to reduction order), and
+        the kept entries are emitted as edges directly — no [B, t, N] grid,
+        no compaction. The cutoff keeps at most num_edge_samples entries per
+        sink (probabilities sum to 1), which also gives the slot-aggregation
+        bound slot_k = num_edge_samples.
+
+        Returns (new_edges [B, 2, t·w'], weights, valid, aux)."""
+        B, N, F = nodes.shape
+        wp = min(self.window + t, N)
+        i = jnp.arange(t)[None, :]
+        sink = T[:, None] + i  # [B, t]
+        lo = jnp.maximum(T - self.window, 0)  # [B]
+        src_abs = lo[:, None] + jnp.arange(wp)[None, :]  # [B, w']
+        j = src_abs[:, None, :]  # [B, 1, w'] -> broadcast over t
+        cand = (
+            (i < taus[:, None])[..., None]
+            & (j < jnp.clip(sink, 0, N)[..., None])
+            & (j < N)
+        )  # [B, t, w']
+        if seg_mask is not None:
+            safe = jnp.clip(src_abs, 0, N - 1)
+            seg_w = jnp.take_along_axis(
+                seg_mask, jnp.broadcast_to(safe[:, None, :], cand.shape),
+                axis=2)
+            cand = cand & seg_w
+
+        win_nodes = jnp.take_along_axis(
+            nodes, jnp.clip(src_abs, 0, N - 1)[..., None], axis=1
+        )  # [B, w', F]
+        sink_feats = jnp.take_along_axis(
+            nodes, jnp.clip(sink, 0, N - 1)[..., None], axis=1
+        )  # [B, t, F]
+        logits = self._score_pairs(params["edge_network"], sink_feats,
+                                   win_nodes)  # [B, t, w']
+
+        tau_temp = self._temperature(params)
+        cutoff = 1.0 / (1 + self.num_edge_samples)
+        if self.deterministic:
+            soft = masked_tempered_softmax(logits, cand, axis=2, tau=tau_temp)
+        else:
+            soft = masked_gumbel_softmax(key, logits, cand, axis=2,
+                                         tau=tau_temp)
+        keep = (soft > cutoff) & cand
+
+        sinks_g = jnp.broadcast_to(sink[:, :, None], keep.shape)
+        srcs_g = jnp.broadcast_to(j, keep.shape)
+        flat = lambda a: a.reshape(B, -1)
+        ok_ = flat(keep)
+        new_e = jnp.stack([jnp.where(ok_, flat(sinks_g), -1),
+                           jnp.where(ok_, flat(srcs_g), -1)], axis=1)
+        vals = jnp.where(ok_, flat(soft), 0.0)
+
+        n_edges = jnp.sum(keep)
+        n_cand = jnp.maximum(jnp.sum(cand), 1)
+        lsum = jnp.sum(jnp.where(cand, logits, 0.0))
+        lmean = lsum / n_cand
+        lvar = jnp.sum(jnp.where(cand, (logits - lmean) ** 2, 0.0)) / n_cand
+        aux = {
+            "edges_per_node": n_edges / jnp.maximum(jnp.sum(taus), 1),
+            "edge_density": n_edges / n_cand,
+            "logits_mean": lmean,
+            "logits_var": lvar,
+            "temperature": tau_temp,
+        }
+        return new_e, vals, ok_, aux

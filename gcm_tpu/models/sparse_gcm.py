@@ -206,7 +206,10 @@ class SparseGCM:
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
-            if hasattr(self.edge_selectors, "emit_edges"):
+            _gate = getattr(self.edge_selectors, "emit_profitable", None)
+            if (hasattr(self.edge_selectors, "emit_edges")
+                    and getattr(self.edge_selectors, "supports_emit", True)
+                    and (_gate is None or _gate(t, N))):
                 # grid-free fast path: selectors whose edges are known
                 # analytically skip the [B, t, N] grid + compaction
                 kw = {} if seg_mask is None else {"seg_mask": seg_mask}

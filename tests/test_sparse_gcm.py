@@ -612,3 +612,88 @@ class TestEmitEdgesFastPath:
         (o1, s1), (o2, s2) = self._run((1, 2), dones=dones)
         assert np.array_equal(np.array(o1), np.array(o2))
         assert np.array_equal(np.array(s1.edges), np.array(s2.edges))
+
+
+class TestLearnedEmitFastPath:
+    """Windowed sparse LearnedEdge emit_edges (window-space scoring) must
+    match the [B,t,N]-grid path: same candidates, same MLP, same masked
+    softmax -> same kept edges and (weight-normalized) outputs."""
+
+    def _models(self, deterministic=True, window=6, N=128):
+        # N must clear the emit_profitable gate (N >= 4*(window+t))
+        # or the "emit" model silently takes the grid path too
+        from gcm_tpu.edges.sparse_learned import LearnedEdge as SLE
+        from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+        F = 5
+
+        class GridOnly:
+            def __init__(self, sel):
+                self._sel = sel
+                self.supports_emit = False
+
+            def init(self, key):
+                return self._sel.init(key)
+
+            def __call__(self, *a, **kw):
+                return self._sel(*a, **kw)
+
+        def mk(wrap):
+            sel = SLE(input_size=F, deterministic=deterministic,
+                      window=window, num_edge_samples=3)
+            if wrap:
+                sel = GridOnly(sel)
+            gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+            return SparseGCM(gnn, graph_size=N, max_edges=8 * N,
+                             edge_selectors=sel)
+        return mk(True), mk(False), F
+
+    def test_deterministic_matches_grid_path(self):
+        grid_m, emit_m, F = self._models()
+        params = grid_m.init(jax.random.PRNGKey(0))
+        B, T_steps = 2, 16
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_steps, F))
+        taus = jnp.full((B,), T_steps, jnp.int32)
+        o1, s1 = grid_m(params, xs, taus, grid_m.initial_state(B, F))
+        o2, s2 = emit_m(params, xs, taus, emit_m.initial_state(B, F))
+        assert np.array_equal(np.array(s1.edges), np.array(s2.edges)), (
+            "edge sets diverged between grid and window-space scoring")
+        assert np.allclose(np.array(o1), np.array(o2), atol=1e-5)
+
+    def test_deterministic_matches_with_dones(self):
+        grid_m, emit_m, F = self._models()
+        B, T_steps = 2, 12
+        dones = jnp.zeros((B, T_steps), bool).at[:, 4].set(True)
+        params = grid_m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_steps, F))
+        taus = jnp.full((B,), T_steps, jnp.int32)
+        o1, s1 = grid_m(params, xs, taus, grid_m.initial_state(B, F),
+                        dones=dones)
+        o2, s2 = emit_m(params, xs, taus, emit_m.initial_state(B, F),
+                        dones=dones)
+        assert np.array_equal(np.array(s1.edges), np.array(s2.edges))
+        assert np.allclose(np.array(o1), np.array(o2), atol=1e-5)
+
+    def test_stochastic_valid_and_reproducible(self):
+        grid_m, emit_m, F = self._models(deterministic=False)
+        params = emit_m.init(jax.random.PRNGKey(0))
+        B, T_steps = 2, 10
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_steps, F))
+        taus = jnp.full((B,), T_steps, jnp.int32)
+        key = jax.random.PRNGKey(5)
+        o1, s1 = emit_m(params, xs, taus, emit_m.initial_state(B, F),
+                        key=key)
+        o2, s2 = emit_m(params, xs, taus, emit_m.initial_state(B, F),
+                        key=key)
+        assert np.array_equal(np.array(s1.edges), np.array(s2.edges))
+        # causality + window bound hold on every emitted edge
+        e = np.array(s1.edges)
+        valid = e[:, 0] >= 0
+        assert (e[:, 1][valid] < e[:, 0][valid]).all()
+        assert np.isfinite(np.array(o1)).all()
+
+    def test_unwindowed_keeps_grid_path(self):
+        from gcm_tpu.edges.sparse_learned import LearnedEdge as SLE
+
+        sel = SLE(input_size=4, window=None)
+        assert not sel.supports_emit
