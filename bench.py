@@ -228,9 +228,11 @@ def bench_ring_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
     return B / slope
 
 
-def bench_banded_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
+def bench_banded_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=2176):
     """BandedRingGCM: exact DenseGCM outputs for the temporal workload with
-    the adjacency kept implicit (masked rolls, no N^2 matmul)."""
+    the adjacency kept implicit (masked rolls, no N^2 matmul). The core is
+    so fast (~6 us per scanned step) that the slope needs a ~2k-step spread
+    to clear tunnel jitter (observed 3x run-to-run wobble at 512 steps)."""
     from gcm_tpu.models.banded_gcm import BandedRingGCM
     from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
     from gcm_tpu.nn.module import MLP, Linear
