@@ -33,9 +33,18 @@ class A2C:
     def __init__(self, env, policy, gamma: float = 0.99, lr: float = 3e-3,
                  value_coef: float = 0.5, entropy_coef: float = 0.01,
                  rollout_len: int | None = None,
-                 log_grad_norms: bool = False):
+                 log_grad_norms: bool = False,
+                 dp_mesh=None, dp_axis: str = "dp"):
         self.env = env
         self.policy = policy
+        # dp_mesh: a jax.sharding.Mesh for data-parallel training. The
+        # collected trajectory is sharding-constrained on its batch axis, so
+        # GSPMD shards the env rollout, replay, and loss across `dp_axis`
+        # and all-reduces the gradients — every memory graph lives wholly on
+        # one device (graphs never interact across batch, SURVEY.md N6).
+        # B must divide the axis size. None = single-device (default).
+        self.dp_mesh = dp_mesh
+        self.dp_axis = dp_axis
         self.gamma = gamma
         self.value_coef = value_coef
         self.entropy_coef = entropy_coef
@@ -106,9 +115,21 @@ class A2C:
         return total, {"pg": pg_loss, "v": v_loss, "entropy": entropy,
                        "return": jnp.mean(jnp.sum(traj["rewards"], axis=1))}
 
+    def _dp_constrain(self, traj):
+        if self.dp_mesh is None:
+            return traj
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def c(a):
+            spec = P(self.dp_axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.dp_mesh, spec))
+
+        return jax.tree_util.tree_map(c, traj)
+
     @partial(jax.jit, static_argnums=(0, 4))
     def update(self, params, opt_state, key, B: int):
-        traj = self.collect(params, key, B)
+        traj = self._dp_constrain(self.collect(params, key, B))
         (l, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
             params, traj
         )

@@ -84,7 +84,7 @@ class PPO(A2C):
     @partial(jax.jit, static_argnums=(0, 4))
     def update(self, params, opt_state, key, B: int):
         k_collect, k_perm = jax.random.split(key)
-        traj = self.collect(params, k_collect, B)
+        traj = self._dp_constrain(self.collect(params, k_collect, B))
         logp_old, values, _ = self._evaluate(params, traj)
         adv, returns = gae(traj["rewards"], values, traj["dones"],
                            self.gamma, self.lam)
