@@ -8,6 +8,12 @@ between the matmuls (replaces reference gcm.py:308's
 DenseGraphConv(adj @ x) + XLA's generic fusion).
 
 Falls back to interpret mode off-TPU so tests run on CPU.
+
+DISPATCH STATUS: measured SLOWER than XLA at every practical size — XLA
+batches [B,N,N]@[B,N,F] across the whole batch while the per-batch-block
+kernel serializes (config.py PALLAS_DENSE_GCONV=False, BASELINE.md). Kept
+as the tested N1 reference implementation; the dispatch layer records the
+negative result rather than shipping a slower "optimization".
 """
 
 from __future__ import annotations

@@ -9,6 +9,10 @@ the flagship DenseGCM scan (reference gcm.py:308 executed T times).
 Backward: custom VJP that replays the forward with XLA einsums (recompute /
 rematerialization — trades FLOPs for the memory XLA would spend saving
 per-layer activations inside lax.scan).
+
+DISPATCH STATUS: measured SLOWER than XLA's own fusion at every practical
+size (same finding as dense_gconv.py; config.py PALLAS_DENSE_GCONV=False).
+Kept as the tested reference implementation of the fused-stack design.
 """
 
 from __future__ import annotations
