@@ -138,10 +138,10 @@ def bench_sparse_gcm(B=32, obs=8, hidden=32, N=128, T=128):
         (st, acc), _ = jax.lax.scan(body, (state, 0.0), xs_wins[:n_win])
         return acc
 
-    n_lo, n_hi = 2, 14  # wide spread: the per-window cost (~0.4 ms) must
-    # clear the tunnel's per-call RTT jitter (~±3 ms); with a 12-window
-    # spread the signal is ~5 ms. (Windows beyond graph capacity keep the
-    # same static per-window program — fine for timing.)
+    n_lo, n_hi = 2, 26  # wide spread: the per-window cost (~0.35 ms) must
+    # clear the tunnel's per-call RTT jitter (~±3 ms); a 24-window spread
+    # gives ~8-9 ms of signal. (Windows beyond graph capacity keep the same
+    # static per-window program — fine for timing.)
 
     def measure(n_win, salt=0):
         inputs = [
