@@ -44,11 +44,19 @@ class PPO(A2C):
                  value_coef: float = 0.5, entropy_coef: float = 0.01,
                  epochs: int = 4, num_minibatches: int = 2,
                  rollout_len: int | None = None,
-                 log_grad_norms: bool = False):
+                 log_grad_norms: bool = False,
+                 dp_mesh=None, dp_axis: str = "dp"):
+        # dp_mesh: data-parallel training over a mesh, same contract as A2C
+        # (the reference's adapter is trainer-agnostic, ray_gcm.py:173-212 —
+        # every trainer gets the same batch-sharded execution). The permuted
+        # minibatch gather a[idx] would break the batch sharding, so each
+        # minibatch is re-constrained onto the dp axis after the gather
+        # (GSPMD inserts one all-to-all; numerics are unchanged).
         super().__init__(env, policy, gamma=gamma, lr=lr,
                          value_coef=value_coef, entropy_coef=entropy_coef,
                          rollout_len=rollout_len,
-                         log_grad_norms=log_grad_norms)
+                         log_grad_norms=log_grad_norms,
+                         dp_mesh=dp_mesh, dp_axis=dp_axis)
         self.lam = lam
         self.clip_eps = clip_eps
         self.epochs = epochs
@@ -102,7 +110,8 @@ class PPO(A2C):
             def minibatch(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
-                traj_mb = jax.tree_util.tree_map(lambda a: a[idx], traj)
+                traj_mb = self._dp_constrain(
+                    jax.tree_util.tree_map(lambda a: a[idx], traj))
                 (l, _), grads = jax.value_and_grad(
                     self.ppo_loss, has_aux=True)(params, traj_mb)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
