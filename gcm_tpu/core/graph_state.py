@@ -107,25 +107,73 @@ def dense_insert(state: DenseGraphState, x: jax.Array) -> DenseGraphState:
     return DenseGraphState(nodes, adj, weights, num_nodes)
 
 
+# --- episode-boundary reset protocol ---------------------------------------
+# Each graph-state class registers how its memory is wiped when an episode
+# ends (the reset an RL trainer applies mid-rollout). A per-class registry —
+# NOT field-name sniffing — so a new state type whose fields need sentinel
+# fills (like SparseGraphState's -1 edge padding) cannot be silently
+# zero-reset by accident: unregistered types raise.
+
+_RESET_REGISTRY: dict[type, object] = {}
+
+
+def register_reset(cls):
+    """Decorator: register fn(state, done_mask_fn) -> state as the episode
+    reset for `cls`. done_mask_fn(arr) returns the [B, 1, ...] broadcastable
+    done mask for that array."""
+
+    def deco(fn):
+        _RESET_REGISTRY[cls] = fn
+        return fn
+
+    return deco
+
+
+def zero_reset(state, mask_for):
+    """Generic reset: every batch-leading array is zeroed where done."""
+
+    def leaf(arr):
+        m = mask_for(arr)
+        return arr if m is None else jnp.where(m, jnp.zeros_like(arr), arr)
+
+    return type(state)(*(leaf(arr) for arr in state))
+
+
 def reset_where(state, done: jax.Array):
-    """Zero the memory of batch elements where `done[b]` is True — the
-    episode-boundary reset an RL trainer applies mid-rollout. Works for any
-    graph-state NamedTuple whose arrays are batch-leading; sparse edge
-    sentinels are restored to -1 and weights to 1.0."""
-    import jax.numpy as jnp
+    """Reset the memory of batch elements where `done[b]` is True, using the
+    state class's registered reset (see `register_reset`). Raises TypeError
+    for unregistered state types instead of guessing field semantics."""
+    fn = _RESET_REGISTRY.get(type(state))
+    if fn is None:
+        raise TypeError(
+            f"no episode reset registered for {type(state).__name__}; "
+            "register one with gcm_tpu.core.graph_state.register_reset")
 
-    def reset_leaf(name, arr):
+    def mask_for(arr):
         if arr.ndim == 0 or arr.shape[0] != done.shape[0]:
-            return arr
-        mask = done.reshape((-1,) + (1,) * (arr.ndim - 1))
-        if name == "edges":
-            return jnp.where(mask, -1, arr)
-        if name == "weights" and arr.ndim == 2:  # sparse weight lanes
-            return jnp.where(mask, jnp.ones_like(arr), arr)
-        return jnp.where(mask, jnp.zeros_like(arr), arr)
+            return None
+        return done.reshape((-1,) + (1,) * (arr.ndim - 1))
 
-    return type(state)(*(reset_leaf(name, arr)
-                         for name, arr in zip(state._fields, state)))
+    return fn(state, mask_for)
+
+
+@register_reset(DenseGraphState)
+def _reset_dense(state, mask_for):
+    return zero_reset(state, mask_for)
+
+
+@register_reset(SparseGraphState)
+def _reset_sparse(state, mask_for):
+    """Restore the packed-codec fills: edge sentinel -1, weight fill 1.0
+    (util.py:323-353 defaults, matching sparse_initial_state)."""
+    return SparseGraphState(
+        nodes=jnp.where(mask_for(state.nodes), 0.0, state.nodes),
+        edges=jnp.where(mask_for(state.edges), -1, state.edges),
+        weights=jnp.where(mask_for(state.weights),
+                          jnp.ones_like(state.weights), state.weights),
+        t=jnp.where(mask_for(state.t), 0, state.t),
+        num_edges=jnp.where(mask_for(state.num_edges), 0, state.num_edges),
+    )
 
 
 def node_validity_mask(num_nodes: jax.Array, N: int,

@@ -35,6 +35,14 @@ class BandedState(NamedTuple):
     t: jax.Array      # [B] int32
 
 
+from gcm_tpu.core.graph_state import register_reset, zero_reset  # noqa: E402
+
+
+@register_reset(BandedState)
+def _reset_banded(state, mask_for):
+    return zero_reset(state, mask_for)
+
+
 class BandedRingGCM:
     def __init__(self, gnn: DenseGNN, preprocessor=None,
                  hops: Sequence[int] = (1,), graph_size: int = 128,
@@ -129,6 +137,152 @@ class BandedRingGCM:
         mx = h_feats[b_idx, p]
         return mx, BandedState(nodes, t + 1)
 
+    # -- whole-trajectory parallel forward -----------------------------------
+    def _stencil_ages(self):
+        """Ages of raw observations the output (age 0) depends on, layer by
+        layer: need[l] = node ages whose layer-l features are required.
+        need[-1] = {0} (the belief is read at the current node only);
+        each conv layer pulls in sources at age + hop."""
+        need = [{0}]
+        for _ in self._conv_idx:
+            prev = set(need[0])
+            for a in need[0]:
+                for h in self.hops:
+                    prev.add(a + h)
+            need.insert(0, prev)
+        return [sorted(s) for s in need]
+
+    def window(self, params, xs, state: BandedState, dones=None):
+        """Whole-trajectory forward WITHOUT the scan: output-identical to
+        `scan` (pinned by tests/test_banded_gcm.py::TestWindowParity).
+
+        The banded core's recurrence is storage-only — node features are raw
+        observations, so the belief at step i is a fixed temporal STENCIL of
+        the inputs: out[i] = f(x[i], x[i-h], x[i-h-h'], ...) with masks that
+        depend only on (t_eff, age). This computes every step at once as
+        batched [B,T,F] matmuls over the stencil ages — O(|hops|^L) conv
+        applications total instead of the scan's T x L x [B,N,F] work (the
+        scan recomputes all N slots every step; the stencil only touches the
+        ages the output can see). The same trick is unavailable to DenseGCM
+        (data-dependent selector edges); it is exactly why the banded core
+        exists (BASELINE.md roofline section).
+
+        dones: optional [B, T] — same episode-reset semantics as scan
+        (memory wiped after a done step; masks and the final state follow
+        the within-episode step count).
+        """
+        assert self.direction == "forward", "window() is forward-only"
+        nodes0, t0 = state
+        B, T, F = xs.shape
+        N = self.graph_size
+        i = jnp.arange(T)[None, :]  # [1, T]
+
+        # within-episode step count at step i (== state.t in the scan, which
+        # dones reset to 0): t0 + i until the first done, then steps since
+        # the last done (the sparse core's pos_new construction,
+        # models/sparse_gcm.py dones handling)
+        if dones is None:
+            t_eff = t0[:, None] + i  # [B, T]
+            r_last = None
+        else:
+            d = dones.astype(jnp.int32)
+            starts = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), d[:, :-1]], axis=1)
+            cand = jnp.where(starts > 0, i, -1)
+            last_start = jax.lax.cummax(cand, axis=1)  # [B, T]
+            t_eff = jnp.where(last_start >= 0, i - last_start, t0[:, None] + i)
+            # last reset step (done index), -1 if none — for the final state
+            r_last = jnp.max(jnp.where(dones, i, -1), axis=1)  # [B]
+
+        horizon = jnp.minimum(t_eff, N - 1)  # [B, T]
+
+        need = self._stencil_ages()
+
+        def raw_at_age(a):
+            """Raw observation of the node at age `a` as seen from step i:
+            xs[i-a] within the window, else the pre-existing buffer row
+            (slot (t0+i-a) mod N). Only consumed where the alive mask holds,
+            which guarantees the lookup is in-episode and un-evicted."""
+            if a == 0:
+                return xs
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, a, F), xs.dtype), xs[:, :T - a]], axis=1) \
+                if a < T else jnp.zeros((B, T, F), xs.dtype)
+            slot = jnp.mod(t0[:, None] + i - a, N)  # [B, T]
+            old = jnp.take_along_axis(nodes0, slot[..., None], axis=1)
+            return jnp.where((i >= a)[..., None], shifted, old)
+
+        feats = {a: raw_at_age(a) for a in need[0]}
+        if self.preprocessor is not None:
+            feats = {a: self.preprocessor(params["preprocessor"], v)
+                     for a, v in feats.items()}
+
+        def edge_mask(a, h):
+            """Mask [B, T] for edge (sink age a <- source age a+h) at step i
+            — the same algebra as _hop_masks with t := t_eff."""
+            alive = a <= horizon
+            had_pred = jnp.minimum(t_eff - a, N - 1) >= h
+            src_alive = a + h <= horizon
+            return (alive & had_pred & src_alive).astype(xs.dtype)
+
+        gnn_params = params["gnn"]
+        for li, (ci, act) in enumerate(zip(self._conv_idx, self._acts)):
+            cp = gnn_params[ci]
+            new_feats = {}
+            for a in need[li + 1]:
+                agg = jnp.zeros_like(feats[a])
+                for h in self.hops:
+                    agg = agg + feats[a + h] * edge_mask(a, h)[..., None]
+                out = (jnp.einsum("btf,fo->bto", agg,
+                                  cp["lin_rel"]["kernel"])
+                       + jnp.einsum("btf,fo->bto", feats[a],
+                                    cp["lin_root"]["kernel"]))
+                if "bias" in cp["lin_rel"]:
+                    out = out + cp["lin_rel"]["bias"]
+                if act == "tanh":
+                    out = jnp.tanh(out)
+                elif act == "relu":
+                    out = jnp.maximum(out, 0.0)
+                new_feats[a] = out
+            feats = new_feats
+        outs = feats[0]
+
+        # final state: slot s holds the newest observation whose insert
+        # landed on s. With no reset the counter runs t0..t0+T, so the slot
+        # content's global time is tau_s = t_F - 1 - ((t_F - 1 - s) mod N);
+        # a done at step r (reset_where runs AFTER the insert, wiping
+        # everything incl. x_r) restarts the counter at 0, so post-reset
+        # inserts land at slot (j - r - 1) mod N and slots never re-written
+        # stay zero.
+        s_iota = jnp.arange(N)[None, :]
+        if r_last is None:
+            t_F = t0 + T
+            o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
+            tau = t_F[:, None] - 1 - o  # [B, N] global time of slot content
+            idx = jnp.clip(tau - t0[:, None], 0, T - 1)
+            gathered = jnp.take_along_axis(xs, idx[..., None], axis=1)
+            nodes_F = jnp.where((tau >= t0[:, None])[..., None],
+                                gathered.astype(nodes0.dtype), nodes0)
+        else:
+            had_reset = r_last >= 0
+            t_F = jnp.where(had_reset, T - 1 - r_last, t0 + T)
+            # counter value at which this epoch started, in window steps:
+            # step j carries counter start_ctr + j with
+            # start_ctr = t0 (no reset) / -(r_last+1) (restart at 0)
+            start_ctr = jnp.where(had_reset, -(r_last + 1), t0)
+            o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
+            ctr = t_F[:, None] - 1 - o  # counter value of slot content
+            j = ctr - start_ctr[:, None]  # window step that wrote the slot
+            written = (ctr >= 0) & (j >= jnp.maximum(r_last, -1)[:, None] + 1)
+            idx = jnp.clip(j, 0, T - 1)
+            gathered = jnp.take_along_axis(xs, idx[..., None], axis=1)
+            # j < 0 (pre-window content) only possible with no reset
+            nodes_F = jnp.where((written & (j >= 0))[..., None],
+                                gathered.astype(nodes0.dtype),
+                                jnp.where(had_reset[:, None, None], 0.0,
+                                          nodes0))
+        return outs, BandedState(nodes_F, t_F)
+
     def scan(self, params, xs, state: BandedState, key=None,
              remat: bool = False, dones=None):
         """remat=True rematerializes each step in the backward pass
@@ -162,6 +316,11 @@ class BandedScoredState(NamedTuple):
     nodes: jax.Array  # [B, N, F] slot-indexed raw observations
     band: jax.Array   # [B, N, w] stored edge values per (sink slot, offset)
     t: jax.Array      # [B] int32
+
+
+@register_reset(BandedScoredState)
+def _reset_banded_scored(state, mask_for):
+    return zero_reset(state, mask_for)
 
 
 class BandedScoredGCM:

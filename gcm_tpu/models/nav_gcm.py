@@ -42,6 +42,14 @@ class NavState(NamedTuple):
     t: jax.Array     # [B] int32
 
 
+from gcm_tpu.core.graph_state import register_reset, zero_reset  # noqa: E402
+
+
+@register_reset(NavState)
+def _reset_nav(state, mask_for):
+    return zero_reset(state, mask_for)
+
+
 class NavDenseGNN:
     """Adapter: run a dense conv stack over cat(x, pos, rot) with the nav
     adjacency mask as the dense adjacency."""

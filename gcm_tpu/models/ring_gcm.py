@@ -44,6 +44,14 @@ class RingGraphState(NamedTuple):
     t: jax.Array        # [B] int32 — total steps taken
 
 
+from gcm_tpu.core.graph_state import register_reset, zero_reset  # noqa: E402
+
+
+@register_reset(RingGraphState)
+def _reset_ring(state, mask_for):
+    return zero_reset(state, mask_for)
+
+
 class RingDenseGCM:
     """Drop-in DenseGCM with ring-pointer storage. Same constructor and
     params; state is RingGraphState (slot-permuted relative to

@@ -81,6 +81,46 @@ class TestStateReset:
         # resumed batch keeps its edges
         assert np.array_equal(np.array(reset.edges[1]), np.array(state.edges[1]))
 
+    def test_unregistered_state_raises(self):
+        """Per-class reset protocol (VERDICT r2 weak #6): a new state type
+        with its own sentinel semantics must be registered explicitly —
+        unregistered types raise instead of being silently zeroed (the old
+        field-NAME dispatch would have zeroed a differently-named sentinel
+        field)."""
+        import pytest
+        from typing import NamedTuple
+
+        class ExoticState(NamedTuple):
+            slots: jnp.ndarray   # pretend sentinel-filled field
+            t: jnp.ndarray
+
+        state = ExoticState(jnp.full((2, 4), -1), jnp.zeros((2,), jnp.int32))
+        with pytest.raises(TypeError, match="no episode reset registered"):
+            reset_where(state, jnp.array([True, False]))
+
+    def test_registered_custom_state(self):
+        """Registering a custom reset restores that state's own sentinels."""
+        from typing import NamedTuple
+
+        from gcm_tpu.core.graph_state import register_reset
+
+        class SentinelState(NamedTuple):
+            slots: jnp.ndarray
+            t: jnp.ndarray
+
+        @register_reset(SentinelState)
+        def _reset(state, mask_for):
+            return SentinelState(
+                slots=jnp.where(mask_for(state.slots), -7, state.slots),
+                t=jnp.where(mask_for(state.t), 0, state.t))
+
+        state = SentinelState(jnp.arange(8).reshape(2, 4),
+                              jnp.array([3, 5], jnp.int32))
+        out = reset_where(state, jnp.array([True, False]))
+        assert (np.array(out.slots[0]) == -7).all()
+        assert np.array_equal(np.array(out.slots[1]), np.arange(4, 8))
+        assert np.array(out.t).tolist() == [0, 5]
+
 
 class TestBF16:
     def test_dense_bf16_runs_finite(self):
