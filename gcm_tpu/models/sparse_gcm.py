@@ -60,6 +60,7 @@ class SparseGCM:
         validate: bool = False,
         aggregation: str = "auto",
         slot_k: int | None = None,
+        emit: str | bool = "auto",
     ):
         self.gnn = gnn
         self.preprocessor = preprocessor
@@ -83,6 +84,16 @@ class SparseGCM:
                 "slot aggregation needs graph_size % 128 == 0")
         self.aggregation = aggregation
         self.slot_k = slot_k
+        # emit: "auto" uses the selector's measured emit_profitable gate;
+        # True forces the grid-free path (selector must support it); False
+        # forces the grid path. Exposed so the adapter config can override
+        # the single-point-measured crossover (VERDICT r2 weak #7).
+        assert emit in ("auto", True, False)
+        if emit is True and edge_selectors is not None:
+            assert (hasattr(edge_selectors, "emit_edges")
+                    and getattr(edge_selectors, "supports_emit", True)), (
+                "emit=True but the edge selector has no grid-free path")
+        self.emit = emit
 
     # -- params ------------------------------------------------------------
     def init(self, key):
@@ -173,11 +184,14 @@ class SparseGCM:
             return grid, sel_aux
 
         def append_grid(edges, weights, num_edges, grid):
-            """Compact a [B, t, N] weight grid into the padded edge list."""
+            """Compact a [B, t, N] weight grid into the padded edge list.
+            Returns (..., dropped [B]) — edges lost to the compaction cap
+            or edge-list capacity (in-band observability for the silent-drop
+            hazards flagged in VERDICT r2 weak #4)."""
             mask = grid > 0
             flat_mask = mask.reshape(B, t * N)
             k = min(t * N, self.max_edges)
-            idx, valid, _ = nonzero_padded(flat_mask, k)  # [B, k]
+            idx, valid, count = nonzero_padded(flat_mask, k)  # [B, k]
             ti = idx // N  # new-node offset
             sj = idx % N  # source
             sinks = jnp.take_along_axis(rows, jnp.clip(ti, 0, t - 1), axis=1)
@@ -188,28 +202,38 @@ class SparseGCM:
             new_e = jnp.stack(
                 [jnp.where(valid, sinks, -1), jnp.where(valid, sj, -1)], axis=1
             )
+            before = num_edges
+            n_new = jnp.minimum(count, k)
             edges, weights, num_edges, _ = append_edges(
                 edges, weights, num_edges, new_e, vals, valid
             )
-            return edges, weights, num_edges
+            dropped = (count - n_new) + (before + n_new - num_edges)
+            return edges, weights, num_edges, dropped
 
         def append_emitted(edges, weights, num_edges, new_e, vals, valid):
             """Append directly-emitted edges (the grid-free selector fast
             path) with the same weight normalization as append_grid."""
             vals = jnp.where(valid, grad_preserving_ones(
                 jnp.where(valid, vals, 1.0)), 1.0)
+            before = num_edges
+            n_new = jnp.sum(valid, axis=-1).astype(num_edges.dtype)
             edges, weights, num_edges, _ = append_edges(
                 edges, weights, num_edges, new_e, vals, valid)
-            return edges, weights, num_edges
+            dropped = before + n_new - num_edges
+            return edges, weights, num_edges, dropped
 
+        dropped_total = jnp.zeros((B,), jnp.int32)
         if self.edge_selectors is not None:
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
             _gate = getattr(self.edge_selectors, "emit_profitable", None)
-            if (hasattr(self.edge_selectors, "emit_edges")
-                    and getattr(self.edge_selectors, "supports_emit", True)
-                    and (_gate is None or _gate(t, N))):
+            use_emit = (
+                self.emit is not False
+                and hasattr(self.edge_selectors, "emit_edges")
+                and getattr(self.edge_selectors, "supports_emit", True)
+                and (self.emit is True or _gate is None or _gate(t, N)))
+            if use_emit:
                 # grid-free fast path: selectors whose edges are known
                 # analytically skip the [B, t, N] grid + compaction
                 kw = {} if seg_mask is None else {"seg_mask": seg_mask}
@@ -217,15 +241,16 @@ class SparseGCM:
                     params["edge_selectors"], dirty_nodes, T, taus, t,
                     key=sub, **kw)
                 aux.update(sel_aux)
-                edges, weights, num_edges = append_emitted(
+                edges, weights, num_edges, dropped = append_emitted(
                     edges, weights, num_edges, new_e, vals, valid)
             else:
                 grid, sel_aux = run_selector(
                     self.edge_selectors, params["edge_selectors"],
                     dirty_nodes, sub)
                 aux.update(sel_aux)
-                edges, weights, num_edges = append_grid(
+                edges, weights, num_edges, dropped = append_grid(
                     edges, weights, num_edges, grid)
+            dropped_total = dropped_total + dropped
 
         if self.preprocessor is not None:
             dirty_nodes = self.preprocessor(params["preprocessor"], dirty_nodes)
@@ -243,8 +268,9 @@ class SparseGCM:
                 dirty_nodes, sub,
             )
             aux.update({f"aux/{k}": v for k, v in sel_aux.items()})
-            edges, weights, num_edges = append_grid(edges, weights, num_edges,
-                                                    grid)
+            edges, weights, num_edges, dropped = append_grid(
+                edges, weights, num_edges, grid)
+            dropped_total = dropped_total + dropped
 
         # GNN over the padded edge list (no flatten/flip needed — the batched
         # SpMM aggregates source -> sink directly; reference flattens for
@@ -256,14 +282,20 @@ class SparseGCM:
             from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
                                                        spmm_slots)
 
-            srcs, ws_l, _ = bucket_sink_slots(gnn_edges, gnn_weights, N,
-                                              self.slot_k)
+            srcs, ws_l, counts = bucket_sink_slots(gnn_edges, gnn_weights, N,
+                                                   self.slot_k)
+            # in-band overflow counter: edges beyond a bucket's k slots are
+            # dropped by the layout — surface the count so training logs see
+            # it (check_slot_overflow remains the outside-jit hard guard)
+            aux["slot_overflow"] = jnp.sum(
+                jnp.maximum(counts - self.slot_k, 0), axis=(1, 2))
             node_feats = self.gnn(
                 params["gnn"], dirty_nodes, gnn_edges, gnn_weights,
                 agg_fn=lambda xx: spmm_slots(xx, srcs, ws_l, N, self.slot_k))
         else:
             node_feats = self.gnn(params["gnn"], dirty_nodes, gnn_edges,
                                   gnn_weights)
+        aux["dropped_edges"] = dropped_total
 
         # gather outputs at the new rows; padding stays zero
         # (sparse_gcm.py:205-208)

@@ -53,6 +53,16 @@ SPARSE_DEFAULT_CONFIG = {
     **DENSE_DEFAULT_CONFIG,
     "max_edges": 512,
     "max_hops": None,
+    # GNN aggregation backend: "auto" (dispatched SpMM) | "slots" (the
+    # degree-bounded sink-slot kernel, measured 4.3x on temporal graphs —
+    # BASELINE.md). slot_k = per-(sink, src-window) degree bound; None
+    # derives it from the selector's structure (TemporalEdge: len(hops);
+    # sparse LearnedEdge: num_edge_samples).
+    "aggregation": "auto",
+    "slot_k": None,
+    # grid-free edge emission: "auto" (selector's measured crossover gate) |
+    # True (force on) | False (force off)
+    "emit": "auto",
 }
 
 
@@ -69,6 +79,21 @@ class _FrozenMLP:
     def __call__(self, params, x):
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
         return self.inner(frozen, x)
+
+
+def _derive_slot_k(sel):
+    """Structural per-(sink, src-window) degree bound for the slot
+    aggregation, when the selector's construction guarantees one:
+    TemporalEdge emits ≤ len(hops) edges per sink; the learned selector's
+    cutoff keeps ≤ num_edge_samples per sink (probabilities sum to 1)."""
+    from gcm_tpu.edges.sparse_learned import LearnedEdge as SparseLearnedEdge
+    from gcm_tpu.edges.sparse_temporal import TemporalEdge
+
+    if isinstance(sel, TemporalEdge):
+        return len(sel.hops)
+    if isinstance(sel, SparseLearnedEdge):
+        return sel.num_edge_samples
+    return None
 
 
 def _build_preprocessor(input_dim, cfg):
@@ -271,6 +296,15 @@ class SparseGCMActorCritic(GCMActorCritic):
                 cat_dim=self.cfg["positional_encoding_dim"],
                 feat_dim=self.cfg["gnn_input_size"],
             )
+        slot_k = self.cfg["slot_k"]
+        if self.cfg["aggregation"] == "slots" and slot_k is None:
+            # aux selectors add edges to the same sinks, so a bound derived
+            # from the primary selector alone would under-count
+            if self.cfg["aux_edge_selectors"] is None:
+                slot_k = _derive_slot_k(self.cfg["edge_selectors"])
+            assert slot_k is not None, (
+                "aggregation='slots': slot_k could not be derived from the "
+                "edge selector — pass slot_k explicitly")
         return SparseGCM(
             gnn=self._gnn(),
             preprocessor=_build_preprocessor(self.input_dim, self.cfg),
@@ -280,6 +314,9 @@ class SparseGCMActorCritic(GCMActorCritic):
             max_edges=self.cfg["max_edges"],
             max_hops=self.cfg["max_hops"],
             positional_encoder=pe,
+            aggregation=self.cfg["aggregation"],
+            slot_k=slot_k,
+            emit=self.cfg["emit"],
         )
 
     def step(self, params, obs, state, prev_action=None, key=None):

@@ -562,6 +562,89 @@ class TestSlotAggregation:
                       aggregation="slots", slot_k=1)
 
 
+class TestOverflowCounters:
+    """In-band capacity-drop observability (VERDICT r2 weak #4): every edge
+    silently dropped behind a static cap is counted in the aux dict, so a
+    training run that starts dropping edges sees it in its logs instead of
+    debugging returns."""
+
+    def _run(self, max_edges, emit):
+        F, B, N, T_len = 4, 2, 8, 6
+        gnn = SparseGNN([GraphConv(F, F)])
+        model = SparseGCM(gnn, graph_size=N, max_edges=max_edges,
+                          edge_selectors=TemporalEdge([1]), emit=emit)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jnp.ones((B, T_len, F))
+        taus = jnp.full((B,), T_len, jnp.int32)
+        _, _, aux = model(params, xs, taus, model.initial_state(B, F),
+                          return_aux=True)
+        return aux
+
+    def test_no_drop_counts_zero(self):
+        for emit in (True, False):
+            aux = self._run(max_edges=16, emit=emit)
+            assert np.array(aux["dropped_edges"]).tolist() == [0, 0]
+
+    def test_capacity_drop_counted_both_paths(self):
+        # 5 temporal edges (sink > 0) into a 3-slot list -> 2 dropped,
+        # identically on the emit and grid paths
+        for emit in (True, False):
+            aux = self._run(max_edges=3, emit=emit)
+            assert np.array(aux["dropped_edges"]).tolist() == [2, 2], emit
+
+    def test_slot_overflow_counted(self):
+        F, B, N, T_len = 4, 1, 128, 10
+        gnn = SparseGNN([GraphConv(F, F)])
+
+        def run(slot_k):
+            model = SparseGCM(gnn, graph_size=N, max_edges=64,
+                              edge_selectors=TemporalEdge([1, 2]),
+                              aggregation="slots", slot_k=slot_k)
+            params = model.init(jax.random.PRNGKey(0))
+            xs = jnp.ones((B, T_len, F))
+            taus = jnp.full((B,), T_len, jnp.int32)
+            _, _, aux = model(params, xs, taus, model.initial_state(B, F),
+                              return_aux=True)
+            return int(np.array(aux["slot_overflow"])[0])
+
+        assert run(slot_k=2) == 0
+        # hops {1,2} put 2 edges in one (sink, src-window) bucket: k=1 drops
+        assert run(slot_k=1) > 0
+
+
+class TestEmitOverride:
+    """emit=True/False force the grid-free/grid paths; outputs and state are
+    bitwise identical either way (the tested emit invariant, CLAUDE.md)."""
+
+    def test_forced_paths_identical(self):
+        F, B, N, T_len = 4, 2, 12, 6
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+        mk = lambda emit: SparseGCM(gnn, graph_size=N, max_edges=64,
+                                    edge_selectors=TemporalEdge([1, 3]),
+                                    emit=emit)
+        m_on, m_off = mk(True), mk(False)
+        params = m_on.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T_len, F))
+        taus = jnp.full((B,), T_len, jnp.int32)
+        o1, s1 = m_on(params, xs, taus, m_on.initial_state(B, F))
+        o2, s2 = m_off(params, xs, taus, m_off.initial_state(B, F))
+        assert np.array_equal(np.array(o1), np.array(o2))
+        for a, b in zip(s1, s2):
+            assert np.array_equal(np.array(a), np.array(b))
+
+    def test_emit_true_requires_support(self):
+        import pytest
+
+        from gcm_tpu.edges.sparse_spatial import SpatialRadiusEdge
+
+        gnn = SparseGNN([GraphConv(4, 4)])
+        with pytest.raises(AssertionError, match="grid-free"):
+            SparseGCM(gnn, graph_size=8, max_edges=16,
+                      edge_selectors=SpatialRadiusEdge(slice(0, 2),
+                                                       radius=1.0),
+                      emit=True)
+
+
 class TestEmitEdgesFastPath:
     """TemporalEdge.emit_edges (grid-free) must produce BITWISE-identical
     state and outputs to the [B,t,N]-grid path."""
