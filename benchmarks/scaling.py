@@ -125,6 +125,57 @@ def comms_bytes_per_device(variant, d, k_pair=None):
     raise ValueError(variant)
 
 
+def sparse_gcm_halo_e2e(mesh, d, Tw=32, hidden=32):
+    """END-TO-END whole-window SparseGCM on the scalable halo collective
+    (VERDICT r2 item 1): selector -> sink-bucketed edge append -> halo-SpMM
+    GNN, the full model step, timed over chained windows. Returns
+    (timesteps/s, comms_bytes_per_device_per_window)."""
+    from gcm_tpu.edges.sparse_temporal import TemporalEdge
+    from gcm_tpu.models.sparse_gcm import SparseGCM
+    from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+    from gcm_tpu.parallel.edge_partition import PartitionedSparseGNN
+
+    hops = [1, 2]
+    halo = max(hops)
+    layers = [GraphConv(hidden, hidden), jnp.tanh,
+              GraphConv(hidden, hidden), jnp.tanh]
+    n_convs = 2
+    gnn = (PartitionedSparseGNN(layers, mesh, num_nodes=N, mode="halo",
+                                halo=halo, axis="dp")
+           if d > 1 else SparseGNN(layers))
+    model = SparseGCM(gnn, graph_size=N, max_edges=len(hops) * N,
+                      edge_selectors=TemporalEdge(hops))
+    params = model.init(jax.random.PRNGKey(0))
+    taus = jnp.full((B,), Tw, jnp.int32)
+    n_windows = N // Tw  # full trajectory fits the graph exactly
+
+    @functools.partial(jax.jit, static_argnames=("windows",))
+    def run(params, xs, windows):
+        # chain `windows` whole-window calls, threading the graph state
+        def body(state, x_w):
+            out, state = model(params, x_w, taus, state)
+            return state, jnp.sum(out)
+        st = model.initial_state(B, hidden)
+        _, sums = jax.lax.scan(body, st, xs[:windows])
+        return jnp.sum(sums)
+
+    def measure(windows):
+        ins = []
+        for i in range(REPEATS + 1):
+            xs = jax.random.normal(jax.random.PRNGKey(windows * 131 + i),
+                                   (n_windows, B, Tw, hidden))
+            ins.append((params, xs))
+        return timed_unique(
+            lambda p, xs: run(p, xs, windows=windows), ins)
+
+    lo, hi = 2, n_windows
+    slope = max(measure(hi) - measure(lo), 1e-9) / (hi - lo)
+    steps_per_s = B * Tw / slope
+    # one ppermute of the halo rows per conv layer per window
+    comms = 0 if d == 1 else n_convs * B * halo * hidden * 4
+    return steps_per_s, comms
+
+
 def main():
     n_dev = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
@@ -161,7 +212,15 @@ def main():
             spmm_halo(mesh, num_nodes=N, halo=WINDOW, axis="dp") if d > 1
             else edge_scatter_add, hbe, hbw, shard_x=node_shard)
 
-        out = {"devices": d}
+        # end-to-end whole-window SparseGCM on the halo path (model-level)
+        e2e_steps, e2e_comms = sparse_gcm_halo_e2e(mesh, d)
+        base.setdefault("sparse_gcm_halo_e2e", e2e_steps)
+
+        out = {"devices": d,
+               "sparse_gcm_halo_e2e_steps_per_s": round(e2e_steps),
+               "sparse_gcm_halo_e2e_efficiency": round(
+                   e2e_steps / (base["sparse_gcm_halo_e2e"] * d), 3),
+               "sparse_gcm_halo_e2e_comms_bytes_per_device": e2e_comms}
         for k, v in row.items():
             if k == "devices":
                 continue

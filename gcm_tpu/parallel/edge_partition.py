@@ -238,25 +238,83 @@ def bucket_edges_by_sink(edges: jax.Array, weights: jax.Array, n_shards: int,
 
 
 class PartitionedSparseGNN:
-    """SparseGNN-compatible stack whose GraphConv aggregations run through
-    the edge-partitioned SpMM on a mesh: each device owns an edge shard,
-    aggregates locally, and a psum over ICI combines partials. Drop-in for
-    SparseGNN inside SparseGCM for graphs whose edge lists exceed one chip.
+    """SparseGNN-compatible stack whose GraphConv aggregations run on mesh
+    collectives — the model-level entry to the multi-chip SpMMs above, a
+    drop-in `gnn=` for SparseGCM (reference substrate: the single-device GNN
+    call at sparse_gcm.py:178, here at pod scale).
+
+    Modes (dispatched by the recorded comms accounting, BASELINE.md scaling
+    section / SCALING_r2.json):
+
+    - "halo": node-sharded x + sink-bucketed edge shards + one ppermute ring
+      step fetching the left neighbor's last `halo` rows. Comms per device is
+      B·halo·F·4 bytes, CONSTANT in N and shard count — the design that meets
+      the ≥80% scaling north star (262 KB/device vs edge_partition's 29 MB at
+      d=8). Requires every edge to satisfy source ≥ sink_block_start − halo,
+      which windowed/temporal selectors guarantee structurally: source ≥
+      sink − window ≥ sink_block_start − window, so halo = the selector's
+      window (max hop for TemporalEdge, window + t for windowed learned).
+    - "bucketed": node-sharded x + (src dev, sink dev)-bucketed edges + one
+      all_to_all routing boundary messages — the general-graph variant; per-
+      device bytes shrink with shard count. Needs a per-device-pair capacity
+      `k_pair` (overflow drops; size to expected cross-shard edge counts).
+    - "psum": the full-width-[B,N,F] psum fallback. O(B·N·F) comms
+      independent of shard count — provably cannot scale (BASELINE.md), kept
+      ONLY as the small-graph fallback where one psum beats a bucketing pass.
+    - "auto": halo when `halo` is given; else psum for num_nodes ≤ 256
+      (the regime where the [B,N,F] accumulator is a few hundred KB and the
+      bucketing pass costs more than it saves); else bucketed.
+
+    Edges are bucketed ONCE per call (inside the jitted step) and reused
+    across the conv layers; the layouts are pure reorderings, so outputs are
+    numerically identical to the single-device SparseGNN (pinned in
+    tests/test_edge_partition.py).
 
     The wrapped layers must be GraphConv('add') / activation callables.
     """
 
-    def __init__(self, layers, mesh: Mesh, axis: str = "dp"):
+    def __init__(self, layers, mesh: Mesh, axis: str = "dp",
+                 num_nodes: int | None = None, mode: str = "auto",
+                 halo: int | None = None, per_shard: int | None = None,
+                 k_pair: int | None = None):
         from gcm_tpu.nn.sparse_conv import GraphConv
 
         for layer in layers:
             if hasattr(layer, "init"):
                 assert isinstance(layer, GraphConv) and layer.aggr == "add", (
                     "PartitionedSparseGNN supports GraphConv('add') layers")
+        assert mode in ("auto", "halo", "bucketed", "psum")
+        if mode == "auto":
+            if halo is not None:
+                mode = "halo"
+            elif num_nodes is not None and num_nodes > 256:
+                mode = "bucketed"
+            else:
+                mode = "psum"
+        if mode != "psum":
+            assert num_nodes is not None, f"mode='{mode}' needs num_nodes"
+            d = mesh.shape[axis]
+            assert num_nodes % d == 0, (
+                f"num_nodes={num_nodes} must divide over {d} shards")
+        if mode == "halo":
+            assert halo is not None, "mode='halo' needs halo (the selector's "\
+                "source window: max hop / window + t)"
         self.layers = layers
         self.mesh = mesh
         self.axis = axis
-        self._spmm = spmm_edge_partitioned(mesh, axis=axis)
+        self.mode = mode
+        self.num_nodes = num_nodes
+        self.halo = halo
+        self.per_shard = per_shard
+        self.k_pair = k_pair
+        if mode == "psum":
+            self._spmm = spmm_edge_partitioned(mesh, axis=axis)
+        elif mode == "halo":
+            self._spmm = spmm_halo(mesh, num_nodes=num_nodes, halo=halo,
+                                   axis=axis)
+        else:
+            assert k_pair is not None, "mode='bucketed' needs k_pair"
+            self._spmm = spmm_bucketed(mesh, num_nodes=num_nodes, axis=axis)
 
     def init(self, key):
         params = []
@@ -268,10 +326,21 @@ class PartitionedSparseGNN:
                 params.append({})
         return params
 
+    def _bucket(self, edges, weights):
+        d = self.mesh.shape[self.axis]
+        if self.mode == "halo":
+            return bucket_edges_by_sink(edges, weights, d, self.num_nodes,
+                                        per_shard=self.per_shard)
+        if self.mode == "bucketed":
+            return bucket_edges_cross(edges, weights, d, self.num_nodes,
+                                      k_pair=self.k_pair)
+        return edges, weights
+
     def __call__(self, params, x, edges, weights=None):
         if weights is None:
             valid = (edges[:, 0, :] >= 0) & (edges[:, 1, :] >= 0)
             weights = valid.astype(x.dtype)
+        edges, weights = self._bucket(edges, weights)
         for layer, p in zip(self.layers, params):
             if hasattr(layer, "init"):
                 agg = self._spmm(x, edges, weights)
