@@ -204,3 +204,69 @@ class TestBandedScoredParity:
         total = sum(float(jnp.sum(jnp.abs(l)))
                     for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestWindowParity:
+    """BandedRingGCM.window — the scan-free whole-trajectory forward — must
+    be BITWISE identical to scan() in outputs AND final state, across
+    wraparound, pre-existing state, mid-window episode resets, and hops."""
+
+    def _model(self, hops, N, F=4):
+        from gcm_tpu.nn.module import MLP, Linear
+
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        from gcm_tpu.models.banded_gcm import BandedRingGCM
+
+        return BandedRingGCM(gnn, preprocessor=MLP([Linear(F, F)]),
+                             hops=hops, graph_size=N)
+
+    def test_bitwise_parity_all_regimes(self):
+        F, B, N = 4, 3, 8
+        for hops in [(1,), (1, 2), (2, 3)]:
+            m = self._model(hops, N, F)
+            params = m.init(jax.random.PRNGKey(0))
+            T = 2 * N + 5  # wraps the ring twice
+            xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+            st = m.initial_state(B, F)
+            _, smid = m.scan(params, xs[:, :7], st)
+            dones = jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (B, T))
+            cases = [
+                (xs, st, None),
+                (xs[:, 7:], smid, None),           # pre-existing nodes
+                (xs, st, dones),                   # mid-window resets
+                (xs[:, 7:], smid, dones[:, 7:]),   # both
+                (xs[:, :5], st,                    # done on the last step
+                 jnp.zeros((B, 5), bool).at[:, -1].set(True)),
+            ]
+            for xw, st0, dn in cases:
+                o1, s1 = m.scan(params, xw, st0, dones=dn)
+                o2, s2 = m.window(params, xw, st0, dones=dn)
+                assert np.array_equal(np.array(o1), np.array(o2))
+                assert np.array_equal(np.array(s1.nodes), np.array(s2.nodes))
+                assert np.array_equal(np.array(s1.t), np.array(s2.t))
+
+    def test_gradients_match_scan(self):
+        F, B, N, T = 4, 2, 8, 12
+        m = self._model((1, 2), N, F)
+        params = m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+
+        def loss(fwd, p):
+            o, _ = fwd(p, xs, m.initial_state(B, F))
+            return jnp.sum(o ** 2)
+
+        g1 = jax.grad(lambda p: loss(m.scan, p))(params)
+        g2 = jax.grad(lambda p: loss(m.window, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+
+    def test_window_forward_only(self):
+        import pytest
+
+        m = self._model((1,), 8)
+        m.direction = "backward"
+        with pytest.raises(AssertionError, match="forward-only"):
+            m.window(m.init(jax.random.PRNGKey(0)),
+                     jnp.zeros((1, 4, 4)), m.initial_state(1, 4))
