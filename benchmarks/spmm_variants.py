@@ -390,6 +390,49 @@ def main():
         lambda x, e, ww: pallas_win(x, e, ww, jnp.bfloat16, cap=E // 2),
         bedges, bw, atol=0.5)
 
+    # v4 segmented kernel (sink-sorted pair buckets, lane cumsum + boundary
+    # gathers — zero MXU, cost scales with actual E; ops/pallas/spmm_seg.py).
+    # begin/end tables are threaded as explicit chain args (closure over
+    # device arrays re-uploads them every call through the tunnel).
+    if "pallas_seg" not in skip:
+        from gcm_tpu.ops.pallas.spmm_seg import (bucket_edges_segments,
+                                                 spmm_seg)
+
+        nw = N // 128
+        cap = -(-2 * (E // (nw * nw)) // 128) * 128  # 2x mean, 128-aligned
+        be, bws, begin, end, tot = bucket_edges_segments(edges, w, N, cap)
+        import numpy as _np
+
+        dropped = int((_np.asarray(tot) > cap).sum())
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (B, N, F))
+        ref = edge_scatter_add(x0, edges, w)
+        err = float(jnp.max(jnp.abs(
+            jax.jit(lambda *a: spmm_seg(*a, N, cap))(
+                x0, be, bws, begin, end) - ref)))
+        if err > 1e-3 or dropped:
+            out["pallas_seg"] = {"error": f"max|d|={err:.2e} "
+                                          f"overflowed_buckets={dropped}"}
+        else:
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def seg_chain(x, e, ww, bg, en, iters):
+                def body(x, _):
+                    return spmm_seg(x, e, ww, bg, en, N, cap) * 1e-1, None
+                return jnp.sum(jax.lax.scan(body, x, None,
+                                            length=iters)[0])
+
+            def seg_measure(iters):
+                ins = [(jax.random.normal(jax.random.PRNGKey(77 * iters + i),
+                                          (B, N, F)), be, bws, begin, end)
+                       for i in range(REPEATS + 1)]
+                return timed_unique(
+                    lambda *a: seg_chain(*a, iters=iters), ins)
+
+            t_lo, t_hi = seg_measure(10), seg_measure(60)
+            rate = B * E / (max(t_hi - t_lo, 1e-9) / 50)
+            out["pallas_seg"] = {"edges_per_s": round(rate),
+                                 "max_abs_err": err, "cap": cap}
+        print(json.dumps({"pallas_seg": out["pallas_seg"]}), flush=True)
+
     print(json.dumps({"backend": jax.default_backend(),
                       "workload": f"B={B} N={N} E={E} F={F}",
                       "results": out}), flush=True)
