@@ -43,6 +43,72 @@ def _reset_banded(state, mask_for):
     return zero_reset(state, mask_for)
 
 
+def _window_time(t0, T, dones):
+    """Within-episode step count t_eff [B, T] (== state.t inside the scan,
+    which dones reset to 0) and the last reset step r_last [B] (-1 if none,
+    None when dones is None)."""
+    B = t0.shape[0]
+    i = jnp.arange(T)[None, :]
+    if dones is None:
+        return t0[:, None] + i, None
+    d = dones.astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), d[:, :-1]],
+                             axis=1)
+    cand = jnp.where(starts > 0, i, -1)
+    last_start = jax.lax.cummax(cand, axis=1)
+    t_eff = jnp.where(last_start >= 0, i - last_start, t0[:, None] + i)
+    r_last = jnp.max(jnp.where(dones, i, -1), axis=1)
+    return t_eff, r_last
+
+
+def _ring_final(buf0, rows_seq, t0, N, r_last):
+    """Final ring-buffer contents after writing rows_seq[:, i] at the slot
+    the step-i insert lands on. Slot s holds the NEWEST write; a done at
+    step r (reset runs after the insert) wipes everything written at steps
+    <= r and restarts the slot counter at 0. Returns (buf_F, t_F)."""
+    B, T, _ = rows_seq.shape
+    s_iota = jnp.arange(N)[None, :]
+    if r_last is None:
+        t_F = t0 + T
+        o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
+        tau = t_F[:, None] - 1 - o  # [B, N] global time of slot content
+        idx = jnp.clip(tau - t0[:, None], 0, T - 1)
+        gathered = jnp.take_along_axis(rows_seq, idx[..., None], axis=1)
+        buf_F = jnp.where((tau >= t0[:, None])[..., None],
+                          gathered.astype(buf0.dtype), buf0)
+        return buf_F, t_F
+    had_reset = r_last >= 0
+    t_F = jnp.where(had_reset, T - 1 - r_last, t0 + T)
+    # counter value carried at window step j: start_ctr + j
+    start_ctr = jnp.where(had_reset, -(r_last + 1), t0)
+    o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
+    ctr = t_F[:, None] - 1 - o  # counter value of the slot's newest write
+    j = ctr - start_ctr[:, None]  # window step that wrote it
+    written = (ctr >= 0) & (j >= 0)
+    idx = jnp.clip(j, 0, T - 1)
+    gathered = jnp.take_along_axis(rows_seq, idx[..., None], axis=1)
+    buf_F = jnp.where(written[..., None], gathered.astype(buf0.dtype),
+                      jnp.where(had_reset[:, None, None],
+                                jnp.zeros_like(buf0), buf0))
+    return buf_F, t_F
+
+
+def _raw_at_age(a, xs, buf0, t0, N):
+    """Step-i view of the ring content at age a: xs[i-a] inside the window,
+    the pre-existing buffer row (slot (t0+i-a) mod N) before it. Only valid
+    where the caller's alive mask (a <= t_eff) holds."""
+    B, T, D = xs.shape
+    if a == 0:
+        return xs
+    i = jnp.arange(T)[None, :]
+    shifted = (jnp.concatenate(
+        [jnp.zeros((B, a, D), xs.dtype), xs[:, :T - a]], axis=1)
+        if a < T else jnp.zeros((B, T, D), xs.dtype))
+    slot = jnp.mod(t0[:, None] + i - a, N)
+    old = jnp.take_along_axis(buf0, slot[..., None], axis=1)
+    return jnp.where((i >= a)[..., None], shifted, old.astype(xs.dtype))
+
+
 class BandedRingGCM:
     def __init__(self, gnn: DenseGNN, preprocessor=None,
                  hops: Sequence[int] = (1,), graph_size: int = 128,
@@ -175,44 +241,12 @@ class BandedRingGCM:
         nodes0, t0 = state
         B, T, F = xs.shape
         N = self.graph_size
-        i = jnp.arange(T)[None, :]  # [1, T]
 
-        # within-episode step count at step i (== state.t in the scan, which
-        # dones reset to 0): t0 + i until the first done, then steps since
-        # the last done (the sparse core's pos_new construction,
-        # models/sparse_gcm.py dones handling)
-        if dones is None:
-            t_eff = t0[:, None] + i  # [B, T]
-            r_last = None
-        else:
-            d = dones.astype(jnp.int32)
-            starts = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.int32), d[:, :-1]], axis=1)
-            cand = jnp.where(starts > 0, i, -1)
-            last_start = jax.lax.cummax(cand, axis=1)  # [B, T]
-            t_eff = jnp.where(last_start >= 0, i - last_start, t0[:, None] + i)
-            # last reset step (done index), -1 if none — for the final state
-            r_last = jnp.max(jnp.where(dones, i, -1), axis=1)  # [B]
-
+        t_eff, r_last = _window_time(t0, T, dones)
         horizon = jnp.minimum(t_eff, N - 1)  # [B, T]
 
         need = self._stencil_ages()
-
-        def raw_at_age(a):
-            """Raw observation of the node at age `a` as seen from step i:
-            xs[i-a] within the window, else the pre-existing buffer row
-            (slot (t0+i-a) mod N). Only consumed where the alive mask holds,
-            which guarantees the lookup is in-episode and un-evicted."""
-            if a == 0:
-                return xs
-            shifted = jnp.concatenate(
-                [jnp.zeros((B, a, F), xs.dtype), xs[:, :T - a]], axis=1) \
-                if a < T else jnp.zeros((B, T, F), xs.dtype)
-            slot = jnp.mod(t0[:, None] + i - a, N)  # [B, T]
-            old = jnp.take_along_axis(nodes0, slot[..., None], axis=1)
-            return jnp.where((i >= a)[..., None], shifted, old)
-
-        feats = {a: raw_at_age(a) for a in need[0]}
+        feats = {a: _raw_at_age(a, xs, nodes0, t0, N) for a in need[0]}
         if self.preprocessor is not None:
             feats = {a: self.preprocessor(params["preprocessor"], v)
                      for a, v in feats.items()}
@@ -247,40 +281,7 @@ class BandedRingGCM:
             feats = new_feats
         outs = feats[0]
 
-        # final state: slot s holds the newest observation whose insert
-        # landed on s. With no reset the counter runs t0..t0+T, so the slot
-        # content's global time is tau_s = t_F - 1 - ((t_F - 1 - s) mod N);
-        # a done at step r (reset_where runs AFTER the insert, wiping
-        # everything incl. x_r) restarts the counter at 0, so post-reset
-        # inserts land at slot (j - r - 1) mod N and slots never re-written
-        # stay zero.
-        s_iota = jnp.arange(N)[None, :]
-        if r_last is None:
-            t_F = t0 + T
-            o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
-            tau = t_F[:, None] - 1 - o  # [B, N] global time of slot content
-            idx = jnp.clip(tau - t0[:, None], 0, T - 1)
-            gathered = jnp.take_along_axis(xs, idx[..., None], axis=1)
-            nodes_F = jnp.where((tau >= t0[:, None])[..., None],
-                                gathered.astype(nodes0.dtype), nodes0)
-        else:
-            had_reset = r_last >= 0
-            t_F = jnp.where(had_reset, T - 1 - r_last, t0 + T)
-            # counter value at which this epoch started, in window steps:
-            # step j carries counter start_ctr + j with
-            # start_ctr = t0 (no reset) / -(r_last+1) (restart at 0)
-            start_ctr = jnp.where(had_reset, -(r_last + 1), t0)
-            o = jnp.mod(t_F[:, None] - 1 - s_iota, N)
-            ctr = t_F[:, None] - 1 - o  # counter value of slot content
-            j = ctr - start_ctr[:, None]  # window step that wrote the slot
-            written = (ctr >= 0) & (j >= jnp.maximum(r_last, -1)[:, None] + 1)
-            idx = jnp.clip(j, 0, T - 1)
-            gathered = jnp.take_along_axis(xs, idx[..., None], axis=1)
-            # j < 0 (pre-window content) only possible with no reset
-            nodes_F = jnp.where((written & (j >= 0))[..., None],
-                                gathered.astype(nodes0.dtype),
-                                jnp.where(had_reset[:, None, None], 0.0,
-                                          nodes0))
+        nodes_F, t_F = _ring_final(nodes0, xs, t0, N, r_last)
         return outs, BandedState(nodes_F, t_F)
 
     def scan(self, params, xs, state: BandedState, key=None,
@@ -374,7 +375,7 @@ class BandedScoredGCM:
             w = window if window is not None else max(hops)
         assert all(h <= w for h in hops), "hops must fit in the window"
         self.hops = tuple(hops)
-        self.window = int(w)
+        self.window_size = int(w)
         self.graph_size = graph_size
 
     def init(self, key):
@@ -392,7 +393,7 @@ class BandedScoredGCM:
     def initial_state(self, B: int, feat: int, dtype=jnp.float32):
         return BandedScoredState(
             nodes=jnp.zeros((B, self.graph_size, feat), dtype),
-            band=jnp.zeros((B, self.graph_size, self.window), dtype),
+            band=jnp.zeros((B, self.graph_size, self.window_size), dtype),
             t=jnp.zeros((B,), jnp.int32),
         )
 
@@ -401,7 +402,7 @@ class BandedScoredGCM:
         k−1 holds the value of edge (sink p ← source (p−k) mod N)."""
         B = x.shape[0]
         N = self.graph_size
-        w = self.window
+        w = self.window_size
         ks = jnp.arange(1, w + 1)
         # source k exists iff the sink had ≥ k predecessors at insert:
         # k ≤ min(t, N−1) (= num_nodes at the dense core's insert point)
@@ -431,7 +432,7 @@ class BandedScoredGCM:
         nodes, band, t = state
         B = x.shape[0]
         N = self.graph_size
-        w = self.window
+        w = self.window_size
         b_idx = jnp.arange(B)
         p = jnp.mod(t, N)
         nodes = nodes.at[b_idx, p].set(x.astype(nodes.dtype))
@@ -494,3 +495,107 @@ class BandedScoredGCM:
             final_state, outs = jax.lax.scan(
                 step, state, (xs_t, jnp.swapaxes(dones, 0, 1)))
         return jnp.swapaxes(outs, 0, 1), final_state
+
+    # -- whole-trajectory parallel forward -----------------------------------
+    def _stencil_ages(self):
+        """Output-stencil ages (see BandedRingGCM._stencil_ages) with every
+        band offset 1..window as a potential hop."""
+        need = [{0}]
+        for _ in self._conv_idx:
+            prev = set(need[0])
+            for a in need[0]:
+                for k in range(1, self.window_size + 1):
+                    prev.add(a + k)
+            need.insert(0, prev)
+        return [sorted(s) for s in need]
+
+    def window(self, params, xs, state: BandedScoredState, dones=None):
+        """Whole-trajectory forward WITHOUT the scan — the scored-band analog
+        of BandedRingGCM.window, output-identical to scan() (pinned by
+        tests/test_banded_gcm.py::TestScoredWindowParity).
+
+        The band row a sink records at insert depends only on raw
+        observations (distance of x_i to the last `window` nodes, reference
+        edge_selectors/distance.py:42-81), so the whole scan collapses to:
+        score all T band rows at once (S [B, T, w]), then run the same
+        temporal-stencil conv recursion as the ring core with S (shifted by
+        sink age, falling back to the stored band for pre-window sinks) as
+        the per-offset edge weights.
+        """
+        nodes0, band0, t0 = state
+        B, T, F = xs.shape
+        N = self.graph_size
+        w = self.window_size
+        i = jnp.arange(T)[None, :]
+
+        t_eff, r_last = _window_time(t0, T, dones)
+        horizon = jnp.minimum(t_eff, N - 1)
+
+        need = self._stencil_ages()
+        raw = {a: _raw_at_age(a, xs, nodes0, t0, N) for a in need[0]}
+
+        # --- band rows for every in-window sink: S [B, T, w] ---------------
+        # (the vectorized _score_row: offset k's source is the raw node at
+        # age k; valid iff the sink had >= k predecessors at insert)
+        ks = jnp.arange(1, w + 1)
+        valid_k = ks[None, None, :] <= horizon[..., None]  # [B, T, w]
+        S = jnp.zeros((B, T, w), nodes0.dtype)
+        if self.distance is not None:
+            srcs = jnp.stack([raw[k] for k in range(1, w + 1)],
+                             axis=2)  # [B, T, w, F]
+            curr = xs
+            if self.distance.learned:
+                scale = params["distance"]["dist_param"]
+                curr = curr / scale
+                srcs = srcs / scale
+            # dist_fn signature is (curr [B,F], nodes [B,w,F]) -> [B,w];
+            # vmap over the time axis reproduces the reference broadcast
+            # semantics (incl. EuclideanEdge's cross-batch mean) exactly
+            dists = jax.vmap(self.distance.dist_fn, in_axes=(1, 1),
+                             out_axes=1)(curr, srcs)  # [B, T, w]
+            S = jnp.where((dists < self.distance.max_distance) & valid_k,
+                          1.0, S)
+        for h in self.hops:
+            S = S.at[:, :, h - 1].set(
+                jnp.where(valid_k[:, :, h - 1], 1.0, S[:, :, h - 1]))
+
+        def band_at_age(a):
+            """Band row of the sink at age `a` as seen from step i: S[i-a]
+            inside the window, else the stored band row (same ring lookup as
+            the raw features)."""
+            return _raw_at_age(a, S, band0, t0, N)
+
+        feats = dict(raw)
+        if self.preprocessor is not None:
+            feats = {a: self.preprocessor(params["preprocessor"], v)
+                     for a, v in feats.items()}
+
+        gnn_params = params["gnn"]
+        for li, (ci, act) in enumerate(zip(self._conv_idx, self._acts)):
+            cp = gnn_params[ci]
+            new_feats = {}
+            for a in need[li + 1]:
+                band_a = band_at_age(a)  # [B, T, w]
+                sink_alive = (a <= horizon).astype(xs.dtype)
+                agg = jnp.zeros_like(feats[a])
+                for k in range(1, w + 1):
+                    src_alive = (a + k <= horizon).astype(xs.dtype)
+                    m = band_a[:, :, k - 1] * sink_alive * src_alive
+                    agg = agg + feats[a + k] * m[..., None]
+                out = (jnp.einsum("btf,fo->bto", agg,
+                                  cp["lin_rel"]["kernel"])
+                       + jnp.einsum("btf,fo->bto", feats[a],
+                                    cp["lin_root"]["kernel"]))
+                if "bias" in cp["lin_rel"]:
+                    out = out + cp["lin_rel"]["bias"]
+                if act == "tanh":
+                    out = jnp.tanh(out)
+                elif act == "relu":
+                    out = jnp.maximum(out, 0.0)
+                new_feats[a] = out
+            feats = new_feats
+        outs = feats[0]
+
+        nodes_F, t_F = _ring_final(nodes0, xs, t0, N, r_last)
+        band_F, _ = _ring_final(band0, S, t0, N, r_last)
+        return outs, BandedScoredState(nodes_F, band_F, t_F)

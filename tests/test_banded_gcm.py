@@ -270,3 +270,64 @@ class TestWindowParity:
         with pytest.raises(AssertionError, match="forward-only"):
             m.window(m.init(jax.random.PRNGKey(0)),
                      jnp.zeros((1, 4, 4)), m.initial_state(1, 4))
+
+
+class TestScoredWindowParity:
+    """BandedScoredGCM.window — scan-free whole-trajectory forward for the
+    scored band — bitwise-identical to scan() (outputs, nodes, band, t)
+    across distance selectors, hops, wraparound, pre-existing state, and
+    mid-window episode resets."""
+
+    def _cases(self):
+        from gcm_tpu.edges.distance import (CosineEdge, EuclideanEdge,
+                                            SpatialEdge)
+
+        return [(EuclideanEdge(2.0), ()), (CosineEdge(0.3), (1,)),
+                (EuclideanEdge(1.5, learned=True), (1, 2)),
+                (None, (1, 2)), (SpatialEdge(1.0, slice(0, 2)), ())]
+
+    def test_bitwise_parity_all_regimes(self):
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+        from gcm_tpu.nn.module import MLP, Linear
+
+        F, B, N, T = 4, 3, 8, 20
+        for dist, hops in self._cases():
+            gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                            DenseGraphConv(F, F), jnp.tanh])
+            m = BandedScoredGCM(gnn, distance=dist,
+                                preprocessor=MLP([Linear(F, F)]),
+                                hops=hops, window=3, graph_size=N)
+            params = m.init(jax.random.PRNGKey(0))
+            xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+            st = m.initial_state(B, F)
+            _, smid = m.scan(params, xs[:, :7], st)
+            dones = jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (B, T))
+            for xw, st0, dn in [(xs, st, None), (xs[:, 7:], smid, None),
+                                (xs, st, dones),
+                                (xs[:, 7:], smid, dones[:, 7:])]:
+                o1, s1 = m.scan(params, xw, st0, dones=dn)
+                o2, s2 = m.window(params, xw, st0, dones=dn)
+                assert np.array_equal(np.array(o1), np.array(o2))
+                for a, b in zip(s1, s2):
+                    assert np.array_equal(np.array(a), np.array(b))
+
+    def test_gradients_match_scan(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+        F, B, N, T = 4, 2, 8, 12
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+        m = BandedScoredGCM(gnn, distance=EuclideanEdge(2.0, learned=True),
+                            window=3, graph_size=N)
+        params = m.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+
+        def loss(fwd, p):
+            o, _ = fwd(p, xs, m.initial_state(B, F))
+            return jnp.sum(o ** 2)
+
+        g1 = jax.grad(lambda p: loss(m.scan, p))(params)
+        g2 = jax.grad(lambda p: loss(m.window, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
