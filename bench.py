@@ -261,6 +261,59 @@ def bench_banded_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=2176):
     return B / slope
 
 
+def bench_banded_window(B=32, obs=8, hidden=32, N=128, Tw=128,
+                        n_lo=8, n_hi=136, train=False):
+    """BandedRingGCM.window — the scan-free whole-trajectory forward (r3):
+    all T steps as batched stencil matmuls, bitwise-equal to scan. Chained
+    Tw-step windows threading the ring state; slope over window count (per-
+    window cost is tiny, so the spread is sized to clear tunnel jitter)."""
+    import functools
+
+    from gcm_tpu.models.banded_gcm import BandedRingGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    model = BandedRingGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                          hops=(1,), graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def win_loss(p, x_w, st):
+        outs, st2 = model.window(p, x_w, st)
+        return jnp.mean(outs ** 2), st2
+
+    @functools.partial(jax.jit, static_argnames=("n_win",))
+    def chain(p, xs, n_win):
+        st0 = model.initial_state(B, obs)
+
+        def body(carry, x_w):
+            st, acc = carry
+            if train:
+                (l, st2), g = jax.value_and_grad(win_loss, has_aux=True)(
+                    p, x_w, st)
+                gsum = sum(jnp.sum(jnp.abs(v))
+                           for v in jax.tree_util.tree_leaves(g))
+                return (st2, acc + l + gsum), None
+            outs, st2 = model.window(p, x_w, st)
+            return (st2, acc + jnp.sum(outs)), None
+
+        (_, acc), _ = jax.lax.scan(body, (st0, 0.0), xs[:n_win])
+        return acc
+
+    def measure(n_win):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(59 * n_win + i),
+                                       (n_hi, B, Tw, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(
+            lambda p, xs: chain(p, xs, n_win=n_win), inputs)
+
+    slope = max(measure(n_hi) - measure(n_lo), 1e-9) / (n_hi - n_lo)
+    return B * Tw / slope
+
+
 def _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=31):
     """Slope-timed forward scan for an arbitrary dense-API model."""
     def fwd(p, x):
@@ -381,6 +434,8 @@ def main():
     fwd, fwd_bwd = bench_dense_gcm()
     ring = bench_ring_gcm()
     banded = bench_banded_gcm()
+    banded_win = bench_banded_window()
+    banded_win_train = bench_banded_window(train=True)
     sparse_train = bench_sparse_gcm()
     spmm = bench_spmm()
     dense_edge = bench_dense_edge()
@@ -397,6 +452,8 @@ def main():
         "fwd_bwd_timesteps_per_s": round(fwd_bwd),
         "ring_timesteps_per_s": round(ring),
         "banded_timesteps_per_s": round(banded),
+        "banded_window_timesteps_per_s": round(banded_win),
+        "banded_window_train_timesteps_per_s": round(banded_win_train),
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
         "dense_edge_n512_timesteps_per_s": round(dense_edge),

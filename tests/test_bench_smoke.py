@@ -34,3 +34,10 @@ def test_bench_sparse_runs():
 def test_bench_spmm_runs():
     rate = bench.bench_spmm(B=2, N=32, E=64, F=8, iters_lo=2, iters_hi=4)
     assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_bench_banded_window_runs(train):
+    rate = bench.bench_banded_window(B=2, N=16, Tw=8, n_lo=1, n_hi=3,
+                                     train=train)
+    assert np.isfinite(rate) and rate > 0
