@@ -29,7 +29,8 @@ from gcm_tpu.models.banded_gcm import (BandedRingGCM,
                                        BandedState)
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
-from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM, NavState
+from gcm_tpu.models.nav_gcm import (NavDenseGNN, NavGCM,
+                                    NavGCMIncremental, NavState)
 from gcm_tpu.models.ring_gcm import RingDenseGCM, RingGraphState
 from gcm_tpu.models.sparse_gcm import SparseGCM
 from gcm_tpu.utils.packing import pack_hidden, unpack_hidden
@@ -53,6 +54,7 @@ __all__ = [
     "RingDenseGCM",
     "RingGraphState",
     "NavGCM",
+    "NavGCMIncremental",
     "NavDenseGNN",
     "NavState",
     "dense_to_sparse",

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jaxtyping import Array, Float, Int
 
 from gcm_tpu.utils.contracts import checked
+from gcm_tpu.nn.dense_conv import DenseGraphConv
 from gcm_tpu.ops.distance import cdist
 from gcm_tpu.ops.scatter import rows_set
 
@@ -114,9 +115,13 @@ class NavGCM:
         )
 
     # -- geometry ----------------------------------------------------------
-    def _edges(self, pos, valid):
-        """Adjacency mask [B, V, V]: mask[b, i, j] = edge j -> i."""
-        d = cdist(pos, pos)
+    def _edges(self, pos, valid, d=None):
+        """Adjacency mask [B, V, V]: mask[b, i, j] = edge j -> i.
+
+        d: optional precomputed distance matrix (full mode hoists the cdist
+        out of its per-step vmap — positions don't change within a window)."""
+        if d is None:
+            d = cdist(pos, pos)
         pair_ok = valid[:, :, None] & valid[:, None, :]
         if self.causal:
             # source strictly before sink (removes self loops like the
@@ -127,14 +132,18 @@ class NavGCM:
             mask = (d <= self.r) & pair_ok
         else:
             mask = pair_ok
-        # keep the k nearest candidates per sink
-        if self.k is not None and self.k < pos.shape[1]:
+        mask = self._knn_cap(d, mask)
+        return mask
+
+    def _knn_cap(self, d, mask):
+        """Keep the k nearest candidates per sink. kth-smallest masked
+        distance via top_k of the negation (value-identical to the previous
+        full jnp.sort — only the kth order statistic is needed)."""
+        if self.k is not None and self.k < d.shape[-1]:
             big = jnp.finfo(d.dtype).max
             dm = jnp.where(mask, d, big)
-            kth = jnp.sort(dm, axis=-1)[..., self.k - 1 : self.k]
+            kth = -jax.lax.top_k(-dm, self.k)[0][..., self.k - 1 : self.k]
             mask = mask & (dm <= kth)
-        elif self.edge_method == "knn":
-            mask = mask  # k >= V: all candidates
         return mask
 
     # -- forward -----------------------------------------------------------
@@ -167,13 +176,18 @@ class NavGCM:
             # full (loop-closure) mode: one graph per timestep — node set is
             # the prefix 0..T+step, edges non-causal within the prefix,
             # output read at node T+step (fixes reference full_forward,
-            # nav_gcm.py:199-235)
+            # nav_gcm.py:199-235). The pairwise distances are step-invariant
+            # (positions don't change within the window) — computed once and
+            # reused across the vmap; only the prefix mask + k-cap are
+            # per-step.
+            d_full = cdist(new_pos, new_pos)
+
             def per_step(step):
                 prefix = jnp.arange(V)[None, :] <= jnp.clip(
                     T + step, 0, V - 1
                 )[:, None]
                 pv = prefix & valid
-                adj = self._edges(new_pos, pv)
+                adj = self._edges(new_pos, pv, d=d_full)
                 feats = self.gnn(params["gnn"], new_x, adj, new_pos, new_rot,
                                  pv, T, taus)
                 row = jnp.clip(T + step, 0, V - 1)
@@ -193,3 +207,150 @@ class NavGCM:
 
         out = jnp.where(new_mask[..., None], out, 0.0)
         return out, NavState(new_x, new_pos, new_rot, total)
+
+
+class NavIncState(NamedTuple):
+    x: jax.Array      # [B, V, F]
+    pos: jax.Array    # [B, V, P]
+    rot: jax.Array    # [B, V, R]
+    caches: tuple     # per inner conv layer: [B, V, F_l] layer-input features
+    t: jax.Array      # [B] int32
+
+
+@register_reset(NavIncState)
+def _reset_nav_inc(state, mask_for):
+    return zero_reset(state, mask_for)
+
+
+class NavGCMIncremental:
+    """Causal NavGCM fast path: compute only the τ NEW rows per window.
+
+    In causal mode an old node's adjacency row is static — its candidate
+    sources (strictly-earlier nodes) and their positions never change after
+    insertion — so its features at every GNN layer are static too. This core
+    caches each conv layer's input features for all V slots and, per window,
+    computes geometry + convolutions for the τ inserted rows only:
+    O(τ·V) pairwise work instead of NavGCM's O(V²) full recompute
+    (reference nav_gcm.py:95-124 rebuilds the whole radius/kNN graph every
+    forward; the causal contract that makes caching exact is the one pinned
+    by tests/test_nav_gcm.py — train ≡ inference).
+
+    Output-identical to NavGCM(causal=True) (tests/test_nav_gcm.py::
+    TestIncrementalParity). Requires a NavDenseGNN whose conv layers are
+    DenseGraphConv (any aggr); pool mode is unsupported (it reads all nodes'
+    final features, which this core does not materialize).
+    """
+
+    def __init__(self, gnn, max_verts: int = 128, edge_method: str = "radius",
+                 k: int = 16, r: float = 1.0):
+        assert edge_method in ("knn", "radius")
+        assert isinstance(gnn, NavDenseGNN), (
+            "NavGCMIncremental needs a NavDenseGNN adapter")
+        for layer in gnn.layers:
+            if hasattr(layer, "init"):
+                assert isinstance(layer, DenseGraphConv), (
+                    "NavGCMIncremental supports DenseGraphConv stacks")
+        self.gnn = gnn
+        self.max_verts = max_verts
+        self.edge_method = edge_method
+        self.k = k
+        self.r = r
+        self.causal = True
+        self._convs = [l for l in gnn.layers if hasattr(l, "init")]
+
+    def init(self, key):
+        return {"gnn": self.gnn.init(key)}
+
+    def initial_state(self, B: int, feat: int, pos_dim: int = 2,
+                      rot_dim: int = 1, dtype=jnp.float32) -> NavIncState:
+        V = self.max_verts
+        caches = tuple(
+            jnp.zeros((B, V, conv.in_dim), dtype) for conv in self._convs[1:]
+        )
+        return NavIncState(
+            x=jnp.zeros((B, V, feat), dtype),
+            pos=jnp.zeros((B, V, pos_dim), dtype),
+            rot=jnp.zeros((B, V, rot_dim), dtype),
+            caches=caches,
+            t=jnp.zeros((B,), jnp.int32),
+        )
+
+    def _conv_rows(self, cp, conv, adj_rows, x_all, x_rows):
+        """DenseGraphConv restricted to the sink rows: adj_rows [B, τ, V],
+        x_all [B, V, F_in] (sources), x_rows [B, τ, F_in] (root term).
+        Value-identical to conv(params, x_all, adj)[rows]."""
+        a = adj_rows.astype(x_all.dtype)
+        if conv.aggr == "max":
+            neg = jnp.finfo(x_all.dtype).min
+            msgs = jnp.where((adj_rows != 0)[..., None],
+                             x_all[:, None, :, :], neg)
+            agg = jnp.max(msgs, axis=2)
+            agg = jnp.where(agg == neg, 0.0, agg)
+        else:
+            agg = jnp.einsum("btv,bvf->btf", a, x_all)
+            if conv.aggr == "mean":
+                deg = jnp.sum(a, axis=-1, keepdims=True)
+                agg = agg / jnp.maximum(deg, 1.0)
+        out = (jnp.einsum("btf,fo->bto", agg, cp["lin_rel"]["kernel"])
+               + jnp.einsum("btf,fo->bto", x_rows, cp["lin_root"]["kernel"]))
+        if "bias" in cp["lin_rel"]:
+            out = out + cp["lin_rel"]["bias"]
+        return out
+
+    @checked
+    def __call__(self, params, x: Float[Array, "B t F"],
+                 pos: Float[Array, "B t P"], rot: Float[Array, "B t R"],
+                 taus: Int[Array, "B"], state: NavIncState):
+        B, t, _ = x.shape
+        V = self.max_verts
+        old_x, old_pos, old_rot, caches, T = state
+
+        i = jnp.arange(t)[None, :]
+        rows = T[:, None] + i
+        new_mask = (i < taus[:, None]) & (rows < V)
+        new_x = rows_set(old_x, rows, x, new_mask)
+        new_pos = rows_set(old_pos, rows, pos, new_mask)
+        new_rot = rows_set(old_rot, rows, rot, new_mask)
+        total = T + taus
+
+        # adjacency rows for the new sinks only: [B, τ, V]
+        d_rows = cdist(pos, new_pos)
+        src_valid = jnp.arange(V)[None, None, :] < total[:, None, None]
+        causal_ok = jnp.arange(V)[None, None, :] < rows[:, :, None]
+        pair_ok = src_valid & causal_ok
+        if self.edge_method == "radius":
+            mask = (d_rows <= self.r) & pair_ok
+        else:
+            mask = pair_ok
+        if self.k is not None and self.k < V:
+            big = jnp.finfo(d_rows.dtype).max
+            dm = jnp.where(mask, d_rows, big)
+            kth = -jax.lax.top_k(-dm, self.k)[0][..., self.k - 1 : self.k]
+            mask = mask & (dm <= kth)
+        adj_rows = mask
+
+        # layer pipeline over the new rows; conv l>0 reads the cached
+        # layer-input features of all V slots (static in causal mode),
+        # refreshed with this window's rows before aggregating
+        if self.gnn.use_pose:
+            h_rows = jnp.concatenate([x, pos, rot], axis=-1)
+            h_all = jnp.concatenate([new_x, new_pos, new_rot], axis=-1)
+        else:
+            h_rows, h_all = x, new_x
+        gnn_params = params["gnn"]
+        new_caches = []
+        ci = 0
+        for layer, lp in zip(self.gnn.layers, gnn_params):
+            if hasattr(layer, "init"):
+                if ci > 0:
+                    h_all = rows_set(caches[ci - 1], rows, h_rows, new_mask)
+                    new_caches.append(h_all)
+                h_rows = self._conv_rows(lp, layer, adj_rows, h_all, h_rows)
+                ci += 1
+            else:
+                h_rows = layer(h_rows)
+        # trailing activations after the last conv touched only h_rows; the
+        # next conv's cache entries were appended as each conv consumed them
+        out = jnp.where(new_mask[..., None], h_rows, 0.0)
+        return out, NavIncState(new_x, new_pos, new_rot,
+                                tuple(new_caches), total)

@@ -276,3 +276,84 @@ class TestNavPoseGNN:
         g = jax.grad(loss)(params)
         tot = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(tot) and tot > 0
+
+
+class TestIncrementalParity:
+    """NavGCMIncremental ≡ NavGCM(causal=True): the cached-feature fast path
+    must reproduce the full-recompute outputs over chained windows, ragged
+    taus, and the k-nearest cap binding."""
+
+    def _models(self, V=16, k=3, r=2.5, layers=2, edge_method="radius"):
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+
+        in_dim = 2 + 2 + 1
+        stack = []
+        dim = in_dim
+        for _ in range(layers):
+            stack += [DenseGraphConv(dim, 4), jnp.tanh]
+            dim = 4
+        gnn = NavDenseGNN(stack)
+        ref = NavGCM(gnn, max_verts=V, r=r, k=k, causal=True,
+                     edge_method=edge_method)
+        fast = NavGCMIncremental(gnn, max_verts=V, r=r, k=k,
+                                 edge_method=edge_method)
+        params = ref.init(jax.random.PRNGKey(0))
+        return ref, fast, params
+
+    def _chain(self, ref, fast, params, B, V, taus_seq, seed=1):
+        s_ref = ref.initial_state(B, 2)
+        s_fast = fast.initial_state(B, 2)
+        key = jax.random.PRNGKey(seed)
+        for wi, taus in enumerate(taus_seq):
+            t = int(jnp.max(taus))
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            obs = jax.random.normal(k1, (B, t, 2))
+            pos = jax.random.normal(k2, (B, t, 2)) * 2.0
+            rot = jax.random.normal(k3, (B, t, 1))
+            o_ref, s_ref = ref(params, obs, pos, rot, taus, s_ref)
+            o_fast, s_fast = fast(params, obs, pos, rot, taus, s_fast)
+            assert np.allclose(np.array(o_fast), np.array(o_ref),
+                               atol=1e-5), f"window {wi}"
+        for a, b in zip((s_ref.x, s_ref.pos, s_ref.rot, s_ref.t),
+                        (s_fast.x, s_fast.pos, s_fast.rot, s_fast.t)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-6)
+
+    def test_full_taus(self):
+        ref, fast, params = self._models()
+        taus = [jnp.full((2,), 4, jnp.int32)] * 4
+        self._chain(ref, fast, params, B=2, V=16, taus_seq=taus)
+
+    def test_ragged_taus(self):
+        ref, fast, params = self._models()
+        taus = [jnp.array([3, 4], jnp.int32), jnp.array([4, 2], jnp.int32),
+                jnp.array([1, 4], jnp.int32)]
+        self._chain(ref, fast, params, B=2, V=16, taus_seq=taus, seed=7)
+
+    def test_knn_mode(self):
+        ref, fast, params = self._models(edge_method="knn", k=2)
+        taus = [jnp.full((2,), 4, jnp.int32)] * 3
+        self._chain(ref, fast, params, B=2, V=16, taus_seq=taus, seed=3)
+
+    def test_single_layer(self):
+        ref, fast, params = self._models(layers=1)
+        taus = [jnp.full((1,), 5, jnp.int32)] * 3
+        self._chain(ref, fast, params, B=1, V=16, taus_seq=taus, seed=5)
+
+    def test_grads_flow(self):
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental  # noqa: F401
+
+        ref, fast, params = self._models()
+        B = 2
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 2))
+        pos = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 2))
+        rot = jnp.zeros((B, 4, 1))
+        taus = jnp.full((B,), 4, jnp.int32)
+
+        def loss(p):
+            o, _ = fast(p, obs, pos, rot, taus, fast.initial_state(B, 2))
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(params)
+        tot = sum(float(jnp.abs(l).sum())
+                  for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(tot) and tot > 0
