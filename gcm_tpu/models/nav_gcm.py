@@ -219,7 +219,13 @@ class NavIncState(NamedTuple):
 
 @register_reset(NavIncState)
 def _reset_nav_inc(state, mask_for):
-    return zero_reset(state, mask_for)
+    """zero_reset over pytree leaves — the caches field is a tuple of
+    arrays, so the per-field generic reset cannot be used directly."""
+    def leaf(arr):
+        m = mask_for(arr)
+        return arr if m is None else jnp.where(m, jnp.zeros_like(arr), arr)
+
+    return jax.tree_util.tree_map(leaf, state)
 
 
 class NavGCMIncremental:
