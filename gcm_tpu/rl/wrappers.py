@@ -266,8 +266,17 @@ class GCMActorCritic:
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
             else jnp.zeros((B, T), jnp.int32))
-        beliefs, state = self.core.scan(params["core"], x, state, key=key,
-                                        dones=dones)
+        if key is None and getattr(self.core, "window", None) is not None \
+                and getattr(self.core, "direction", "forward") == "forward":
+            # banded cores: scan-free whole-trajectory stencil forward,
+            # bitwise-identical to scan (tests/test_banded_gcm.py::
+            # TestWindowParity) and measured far faster — the training-side
+            # win of the banded design
+            beliefs, state = self.core.window(params["core"], x, state,
+                                              dones=dones)
+        else:
+            beliefs, state = self.core.scan(params["core"], x, state,
+                                            key=key, dones=dones)
         logits = self.logit_branch(params["logit"], beliefs)
         values = self.value_branch(params["value"], beliefs)[..., 0]
         return logits, values, state

@@ -198,6 +198,29 @@ class TestBandedCoreWrapper:
             make_policy(env, core="banded",
                         edge_selectors=TemporalBackedge([1], learned=True))
 
+    def test_banded_window_path_with_dones_matches_dense(self):
+        """The wrapper's whole-trajectory call routes banded cores through
+        the scan-free window() fast path; with mid-window dones it must
+        still match the dense core's scan-with-resets exactly."""
+        env = RecallEnv()
+        dense = make_policy(env, core="dense")
+        banded = make_policy(env, core="banded")
+        dp = dense.init(jax.random.PRNGKey(0))
+        bp = {"core": {"gnn": dp["core"]["gnn"],
+                       "preprocessor": dp["core"]["preprocessor"]},
+              "logit": dp["logit"], "value": dp["value"]}
+        B, T = 2, env.horizon + 4
+        obs = jax.random.normal(jax.random.PRNGKey(2), (B, T, env.obs_dim))
+        dones = jnp.zeros((B, T), bool).at[0, 3].set(True).at[1, 5].set(True)
+        ld, vd, sd = dense(dp, obs, dense.initial_state(B), dones=dones)
+        lb, vb, sb = banded(bp, obs, banded.initial_state(B), dones=dones)
+        assert np.allclose(np.array(ld), np.array(lb), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vb), atol=1e-5)
+        # final memory matches the scan path's (post-reset ring contents)
+        lb2, vb2, sb2 = banded(bp, obs, sb)
+        ld2, vd2, _ = dense(dp, obs, sd)
+        assert np.allclose(np.array(ld2), np.array(lb2), atol=1e-5)
+
 
 class TestPPO:
     def test_gae_matches_numpy(self):
