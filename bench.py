@@ -380,22 +380,31 @@ def bench_learned_edge(B=32, obs=8, hidden=32, N=128, T_lo=64, T_hi=256):
     return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=43)
 
 
-def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=8, n_hi=408):
+def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=8, n_hi=408,
+                  incremental=False):
     """BASELINE.json config 5b: NavGCM rollout (reference nav_gcm.py:237-263,
     radius edges recomputed from geometry each call, causal mode). Chained
     windows of tau steps; slope over window count. A window costs ~25 us on
     TPU, so the spread must be hundreds of windows for the signal to clear
     the tunnel's ms-scale jitter (windows beyond the vertex capacity keep
-    the same static per-window program — fine for timing)."""
+    the same static per-window program — fine for timing).
+
+    incremental=True measures NavGCMIncremental (cached causal features,
+    only the tau new rows computed per window; output-identical)."""
     import functools
 
-    from gcm_tpu.models.nav_gcm import NavDenseGNN, NavGCM
+    from gcm_tpu.models.nav_gcm import (NavDenseGNN, NavGCM,
+                                        NavGCMIncremental)
     from gcm_tpu.nn.dense_conv import DenseGraphConv
 
     pose = 3  # pos 2 + rot 1 concatenated by NavDenseGNN
     gnn = NavDenseGNN([DenseGraphConv(F + pose, F), jnp.tanh,
                        DenseGraphConv(F, F), jnp.tanh])
-    model = NavGCM(gnn, max_verts=V, edge_method="radius", r=2.0, k=16)
+    if incremental:
+        model = NavGCMIncremental(gnn, max_verts=V, edge_method="radius",
+                                  r=2.0, k=16)
+    else:
+        model = NavGCM(gnn, max_verts=V, edge_method="radius", r=2.0, k=16)
     params = model.init(jax.random.PRNGKey(0))
     taus = jnp.full((B,), tau, jnp.int32)
 
@@ -444,6 +453,7 @@ def main():
     spatial = bench_distance("spatial")
     learned = bench_learned_edge()
     nav = bench_nav_gcm()
+    nav_inc = bench_nav_gcm(incremental=True)
     print(json.dumps({
         "metric": "gcm_timesteps_per_s",
         "value": round(fwd),
@@ -462,6 +472,7 @@ def main():
         "spatial_timesteps_per_s": round(spatial),
         "learned_edge_timesteps_per_s": round(learned),
         "nav_gcm_timesteps_per_s": round(nav),
+        "nav_incremental_timesteps_per_s": round(nav_inc),
         "backend": jax.default_backend(),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
     }))

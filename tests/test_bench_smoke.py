@@ -12,6 +12,8 @@ import bench
     (bench.bench_dense_edge, dict(B=2, N=64, T_lo=4, T_hi=8)),
     (bench.bench_learned_edge, dict(B=2, N=16, T_lo=4, T_hi=8)),
     (bench.bench_nav_gcm, dict(B=2, F=8, V=32, tau=4, n_lo=1, n_hi=2)),
+    (bench.bench_nav_gcm, dict(B=2, F=8, V=32, tau=4, n_lo=1, n_hi=2,
+                               incremental=True)),
     (bench.bench_ring_gcm, dict(B=2, N=16, T_lo=4, T_hi=8)),
     (bench.bench_banded_gcm, dict(B=2, N=16, T_lo=4, T_hi=8)),
 ])
