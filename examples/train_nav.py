@@ -49,13 +49,14 @@ def main():
     params = policy.init(jax.random.PRNGKey(0))
     # clipping + a real entropy bonus: without them the policy learns, then
     # collapses once entropy dwindles (observed at ~150 updates)
-    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(1e-3))
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(5e-4))
     opt_state = opt.init(params)
     update = make_nav_a2c_update(policy, opt, entropy_coef=0.03)
-    # small capacity = FIFO recency window (the native buffer evicts oldest
-    # episodes over capacity) — keeps the A2C update near-on-policy; a large
-    # buffer was measured to diverge on this task (stale-policy replay)
-    buf = HostReplayBuffer(capacity_steps=40 * args.envs * args.horizon,
+    # tight capacity = FIFO recency window (the native buffer evicts oldest
+    # episodes over capacity) — keeps the vanilla-PG update near-on-policy;
+    # wider windows (40 collections) were measured to learn then diverge
+    # from stale-policy replay
+    buf = HostReplayBuffer(capacity_steps=4 * args.envs * args.horizon,
                            obs_dim=pool.obs_dim)
 
     key = jax.random.PRNGKey(1)
