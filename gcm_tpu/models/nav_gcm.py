@@ -249,13 +249,16 @@ class NavGCMIncremental:
 
     def __init__(self, gnn, max_verts: int = 128, edge_method: str = "radius",
                  k: int = 16, r: float = 1.0):
+        from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
+
         assert edge_method in ("knn", "radius")
-        assert isinstance(gnn, NavDenseGNN), (
-            "NavGCMIncremental needs a NavDenseGNN adapter")
+        assert isinstance(gnn, (NavDenseGNN, NavPoseGNN)), (
+            "NavGCMIncremental needs a NavDenseGNN or NavPoseGNN adapter")
         for layer in gnn.layers:
             if hasattr(layer, "init"):
-                assert isinstance(layer, DenseGraphConv), (
-                    "NavGCMIncremental supports DenseGraphConv stacks")
+                assert isinstance(layer, (DenseGraphConv, NavRelPosConv)), (
+                    "NavGCMIncremental supports DenseGraphConv / "
+                    "NavRelPosConv stacks")
         self.gnn = gnn
         self.max_verts = max_verts
         self.edge_method = edge_method
@@ -303,6 +306,24 @@ class NavGCMIncremental:
             out = out + cp["lin_rel"]["bias"]
         return out
 
+    def _posconv_rows(self, cp, conv, adj_rows, x_all, x_rows,
+                      pos_all, pos_rows, rot_all, rot_rows):
+        """NavRelPosConv restricted to the sink rows: the pairwise message
+        MLP runs on [B, τ, V, ·] instead of [B, V, V, ·] — the biggest
+        incremental win (the per-pair MLP dominates the full recompute).
+        Value-identical to conv(params, x_all, adj, pos_all, rot_all)[rows]."""
+        B, t, V = adj_rows.shape
+        F = x_all.shape[-1]
+        rel_pos = pos_all[:, None, :, :] - pos_rows[:, :, None, :]
+        rel_rot = rot_all[:, None, :, :] - rot_rows[:, :, None, :]
+        x_j = jnp.broadcast_to(x_all[:, None, :, :], (B, t, V, F))
+        msg_in = jnp.concatenate([x_j, rel_pos, rel_rot], axis=-1)
+        m = conv.msg2(cp["msg2"],
+                      jax.nn.relu(conv.msg1(cp["msg1"], msg_in)))
+        m = m * adj_rows[..., None].astype(m.dtype)
+        agg = jnp.sum(m, axis=2)
+        return agg + conv.lin_root(cp["lin_root"], x_rows)
+
     @checked
     def __call__(self, params, x: Float[Array, "B t F"],
                  pos: Float[Array, "B t P"], rot: Float[Array, "B t R"],
@@ -338,7 +359,7 @@ class NavGCMIncremental:
         # layer pipeline over the new rows; conv l>0 reads the cached
         # layer-input features of all V slots (static in causal mode),
         # refreshed with this window's rows before aggregating
-        if self.gnn.use_pose:
+        if getattr(self.gnn, "use_pose", False):
             h_rows = jnp.concatenate([x, pos, rot], axis=-1)
             h_all = jnp.concatenate([new_x, new_pos, new_rot], axis=-1)
         else:
@@ -351,7 +372,13 @@ class NavGCMIncremental:
                 if ci > 0:
                     h_all = rows_set(caches[ci - 1], rows, h_rows, new_mask)
                     new_caches.append(h_all)
-                h_rows = self._conv_rows(lp, layer, adj_rows, h_all, h_rows)
+                if isinstance(layer, DenseGraphConv):
+                    h_rows = self._conv_rows(lp, layer, adj_rows, h_all,
+                                             h_rows)
+                else:  # NavRelPosConv
+                    h_rows = self._posconv_rows(lp, layer, adj_rows, h_all,
+                                                h_rows, new_pos, pos,
+                                                new_rot, rot)
                 ci += 1
             else:
                 h_rows = layer(h_rows)

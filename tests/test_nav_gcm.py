@@ -339,6 +339,25 @@ class TestIncrementalParity:
         taus = [jnp.full((1,), 5, jnp.int32)] * 3
         self._chain(ref, fast, params, B=1, V=16, taus_seq=taus, seed=5)
 
+    def test_pose_gnn_parity(self):
+        """NavPoseGNN stacks (relative-geometry pairwise MLP) through the
+        incremental core — the row-restricted message MLP must match the
+        full [B,V,V] recompute over chained windows."""
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+        from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
+
+        V, k, r = 16, 3, 2.5
+        gnn = NavPoseGNN([NavRelPosConv(2, 4), jnp.tanh,
+                          NavRelPosConv(4, 4), jnp.tanh])
+        ref = NavGCM(gnn, max_verts=V, r=r, k=k, causal=True,
+                     edge_method="radius")
+        fast = NavGCMIncremental(gnn, max_verts=V, r=r, k=k,
+                                 edge_method="radius")
+        params = ref.init(jax.random.PRNGKey(0))
+        taus = [jnp.array([3, 4], jnp.int32), jnp.array([4, 2], jnp.int32),
+                jnp.array([4, 4], jnp.int32)]
+        self._chain(ref, fast, params, B=2, V=V, taus_seq=taus, seed=11)
+
     def test_grads_flow(self):
         from gcm_tpu.models.nav_gcm import NavGCMIncremental  # noqa: F401
 
