@@ -346,6 +346,52 @@ def bench_dense_edge(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256):
     return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=37)
 
 
+def bench_clique(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256,
+                 window=False, n_lo=4, n_hi=68, Tw=64):
+    """CliqueGCM — the DenseEdge fast path on the config-2 workload
+    (fully-connected past @ graph_size=512). window=False: stepwise scan
+    (O(N·F·F')/step vs DenseGCM's O(N²·F)); window=True: the scan-free
+    whole-trajectory forward, chained Tw-step windows threading the ring
+    state (slope over window count, like bench_banded_window)."""
+    import functools
+
+    from gcm_tpu.models.clique_gcm import CliqueGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    model = CliqueGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                      graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    if not window:
+        return _bench_dense_scan(model, params, obs, B, T_lo, T_hi, seed=41)
+
+    @functools.partial(jax.jit, static_argnames=("n_win",))
+    def chain(p, xs, n_win):
+        st0 = model.initial_state(B, obs)
+
+        def body(carry, x_w):
+            st, acc = carry
+            outs, st2 = model.window(p, x_w, st)
+            return (st2, acc + jnp.sum(outs)), None
+
+        (_, acc), _ = jax.lax.scan(body, (st0, 0.0), xs[:n_win])
+        return acc
+
+    def measure(n_win):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(43 * n_win + i),
+                                       (n_hi, B, Tw, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(
+            lambda p, xs: chain(p, xs, n_win=n_win), inputs)
+
+    slope = max(measure(n_hi) - measure(n_lo), 1e-9) / (n_hi - n_lo)
+    return B * Tw / slope
+
+
 def bench_distance(mode, B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
     """BASELINE.json config 3: distance edge selectors — the SDDMM scoring
     path (reference edge_selectors/distance.py:42-81). mode in
@@ -448,6 +494,8 @@ def main():
     sparse_train = bench_sparse_gcm()
     spmm = bench_spmm()
     dense_edge = bench_dense_edge()
+    clique = bench_clique()
+    clique_win = bench_clique(window=True)
     euclid = bench_distance("euclidean")
     cosine = bench_distance("cosine")
     spatial = bench_distance("spatial")
@@ -467,6 +515,8 @@ def main():
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
         "dense_edge_n512_timesteps_per_s": round(dense_edge),
+        "clique_n512_timesteps_per_s": round(clique),
+        "clique_window_n512_timesteps_per_s": round(clique_win),
         "euclidean_timesteps_per_s": round(euclid),
         "cosine_timesteps_per_s": round(cosine),
         "spatial_timesteps_per_s": round(spatial),

@@ -27,6 +27,7 @@ from gcm_tpu.models.banded_gcm import (BandedRingGCM,
                                        BandedScoredGCM,
                                        BandedScoredState,
                                        BandedState)
+from gcm_tpu.models.clique_gcm import CliqueGCM
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
 from gcm_tpu.models.nav_gcm import (NavDenseGNN, NavGCM,
@@ -51,6 +52,7 @@ __all__ = [
     "BandedScoredGCM",
     "BandedScoredState",
     "BandedState",
+    "CliqueGCM",
     "RingDenseGCM",
     "RingGraphState",
     "NavGCM",

@@ -29,7 +29,9 @@ DENSE_DEFAULT_CONFIG = {
     # O(N) steady-state eviction, measured 1.43x faster per step and ~2x
     # faster full A2C updates; soak round 2: dense/ring/banded reach
     # identical returns on recall+tmaze on TPU). "dense" = roll-based
-    # DenseGCM; "banded" = BandedRingGCM (temporal-only fast path).
+    # DenseGCM; "banded" = BandedRingGCM (temporal-only fast path);
+    # "clique" = CliqueGCM (DenseEdge fully-connected-past fast path);
+    # "banded_scored" = BandedScoredGCM (windowed-distance fast path).
     "core": "ring",
     "graph_size": 32,
     "gnn_input_size": 64,
@@ -186,6 +188,27 @@ class GCMActorCritic:
                 distance=dist,
                 preprocessor=_build_preprocessor(self.input_dim, self.cfg),
                 hops=hops,
+                graph_size=self.cfg["graph_size"],
+            )
+        if self.cfg["core"] == "clique":
+            # fully-connected-past fast path (DenseEdge): implicit complete-
+            # graph adjacency, O(N·F·F') per step vs DenseGCM's O(N²·F),
+            # scan-free window() in whole-trajectory mode
+            from gcm_tpu.edges.dense import DenseEdge as DenseEdgeSel
+            from gcm_tpu.models.clique_gcm import CliqueGCM
+
+            sel = self.cfg["edge_selectors"]
+            assert sel is None or isinstance(sel, DenseEdgeSel), (
+                "core='clique' implements the DenseEdge (fully-connected-"
+                "past) graph — pass edge_selectors=DenseEdge() or None")
+            assert not (self.cfg["aux_edge_selectors"]
+                        or self.cfg["positional_encoding"]
+                        or self.cfg["pooled"] or self.cfg["edge_weights"]), (
+                "core='clique' supports only the plain DenseEdge "
+                "configuration")
+            return CliqueGCM(
+                self._gnn(),
+                preprocessor=_build_preprocessor(self.input_dim, self.cfg),
                 graph_size=self.cfg["graph_size"],
             )
         if self.cfg["core"] == "banded":

@@ -43,3 +43,10 @@ def test_bench_banded_window_runs(train):
     rate = bench.bench_banded_window(B=2, N=16, Tw=8, n_lo=1, n_hi=3,
                                      train=train)
     assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.parametrize("window", [False, True])
+def test_bench_clique_runs(window):
+    rate = bench.bench_clique(B=2, N=16, T_lo=4, T_hi=8, window=window,
+                              n_lo=1, n_hi=3, Tw=8)
+    assert np.isfinite(rate) and rate > 0

@@ -222,6 +222,40 @@ class TestBandedCoreWrapper:
         assert np.allclose(np.array(ld2), np.array(lb2), atol=1e-5)
 
 
+class TestCliqueCoreWrapper:
+    def test_clique_wrapper_matches_dense_edge(self):
+        """core='clique' == DenseGCM + DenseEdge logits/values, routed
+        through the scan-free window() whole-trajectory forward (incl.
+        mid-window dones)."""
+        from gcm_tpu.edges.dense import DenseEdge
+
+        env = RecallEnv()
+        dense = make_policy(env, core="dense", edge_selectors=DenseEdge())
+        clique = make_policy(env, core="clique",
+                             edge_selectors=DenseEdge())
+        dp = dense.init(jax.random.PRNGKey(0))
+        cp = {"core": {"gnn": dp["core"]["gnn"],
+                       "preprocessor": dp["core"]["preprocessor"]},
+              "logit": dp["logit"], "value": dp["value"]}
+        B, T = 2, env.horizon + 4  # wraps past graph capacity
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        dones = jnp.zeros((B, T), bool).at[0, 3].set(True).at[1, 5].set(True)
+        ld, vd, sd = dense(dp, obs, dense.initial_state(B), dones=dones)
+        lc, vc, sc = clique(cp, obs, clique.initial_state(B), dones=dones)
+        assert np.allclose(np.array(ld), np.array(lc), atol=1e-5)
+        assert np.allclose(np.array(vd), np.array(vc), atol=1e-5)
+        # continuation from the window's final state matches the dense scan
+        ld2, _, _ = dense(dp, obs, sd)
+        lc2, _, _ = clique(cp, obs, sc)
+        assert np.allclose(np.array(ld2), np.array(lc2), atol=1e-5)
+
+    def test_clique_rejects_non_dense_edge(self):
+        env = RecallEnv()
+        with pytest.raises(AssertionError):
+            make_policy(env, core="clique",
+                        edge_selectors=TemporalBackedge([1]))
+
+
 class TestPPO:
     def test_gae_matches_numpy(self):
         from gcm_tpu.rl.ppo import gae
