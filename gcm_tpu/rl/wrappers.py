@@ -31,7 +31,10 @@ DENSE_DEFAULT_CONFIG = {
     # identical returns on recall+tmaze on TPU). "dense" = roll-based
     # DenseGCM; "banded" = BandedRingGCM (temporal-only fast path);
     # "clique" = CliqueGCM (DenseEdge fully-connected-past fast path);
-    # "banded_scored" = BandedScoredGCM (windowed-distance fast path).
+    # "banded_scored" = BandedScoredGCM (windowed-distance fast path);
+    # "auto" = pick the fastest parity core the selector structure supports
+    # (banded/clique/banded_scored per the BASELINE.md measurements, else
+    # ring).
     "core": "ring",
     "graph_size": 32,
     "gnn_input_size": 64,
@@ -136,7 +139,46 @@ class GCMActorCritic:
                          DenseGraphConv(go, go), jnp.tanh],
                         use_weights=self.cfg["edge_weights"])
 
+    def _resolve_auto_core(self):
+        """core='auto': pick the fastest parity core the selector structure
+        provably supports (dispatch-by-measurement: each rule below is
+        backed by a BASELINE.md measurement), else 'ring'. Conservative —
+        any aux machinery or custom GNN falls back to the general core."""
+        cfg = self.cfg
+        if (cfg["aux_edge_selectors"] or cfg["positional_encoding"]
+                or cfg["pooled"] or cfg["edge_weights"]
+                or cfg["gnn"] is not None):
+            return "ring"
+        sel = cfg["edge_selectors"]
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.dense import DenseEdge as DenseEdgeSel
+        from gcm_tpu.edges.distance import Distance
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        if isinstance(sel, TemporalBackedge) and not sel.learned:
+            return "banded"  # implicit banded adjacency, 4.5x the ring core
+        if isinstance(sel, DenseEdgeSel):
+            return "clique"  # O(N·F·F') step vs O(N²·F)
+        dist = None
+        if isinstance(sel, Distance):
+            dist = sel
+        elif (isinstance(sel, EdgeChain) and len(sel.selectors) == 2
+              and isinstance(sel.selectors[0], TemporalBackedge)
+              and not sel.selectors[0].learned
+              and sel.selectors[0].direction == "forward"
+              and isinstance(sel.selectors[1], Distance)):
+            dist = sel.selectors[1]
+        if (dist is not None and dist.window is not None
+                and not getattr(dist, "bidirectional", False)
+                # measured crossover: the scored band loses to the dense
+                # adjacency below graph_size≈256 (BASELINE.md)
+                and cfg["graph_size"] >= 256):
+            return "banded_scored"
+        return "ring"
+
     def _build_core(self):
+        if self.cfg["core"] == "auto":
+            self.cfg["core"] = self._resolve_auto_core()
         pe = None
         if self.cfg["positional_encoding"] == "relative":
             from gcm_tpu.models.positional import RelativePositionalEncoding

@@ -256,6 +256,51 @@ class TestCliqueCoreWrapper:
                         edge_selectors=TemporalBackedge([1]))
 
 
+class TestAutoCore:
+    """core='auto' picks the fastest parity core the selector structure
+    provably supports (per the BASELINE.md measurements), else ring."""
+
+    def test_auto_selection_rules(self):
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.dense import DenseEdge
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        env = RecallEnv()
+        cases = [
+            (dict(edge_selectors=TemporalBackedge([1, 2])), "banded"),
+            (dict(edge_selectors=TemporalBackedge([1], learned=True)),
+             "ring"),
+            (dict(edge_selectors=DenseEdge()), "clique"),
+            (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
+                  graph_size=512), "banded_scored"),
+            # below the measured banded_scored crossover -> ring
+            (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
+                  graph_size=64), "ring"),
+            (dict(edge_selectors=EdgeChain([
+                TemporalBackedge([1]),
+                EuclideanEdge(max_distance=1.0, window=8)]),
+                  graph_size=512), "banded_scored"),
+            # unwindowed distance cannot use the band
+            (dict(edge_selectors=EuclideanEdge(max_distance=1.0)), "ring"),
+            # aux machinery falls back to the general core
+            (dict(edge_selectors=TemporalBackedge([1]), pooled=True),
+             "ring"),
+        ]
+        for over, want in cases:
+            pol = make_policy(env, core="auto", **over)
+            assert pol.cfg["core"] == want, (over, pol.cfg["core"], want)
+
+    def test_auto_runs_end_to_end(self):
+        env = RecallEnv()
+        pol = make_policy(env, core="auto")  # TemporalBackedge -> banded
+        assert pol.cfg["core"] == "banded"
+        params = pol.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1),
+                                (2, 6, env.obs_dim))
+        logits, values, _ = pol(params, obs, pol.initial_state(2))
+        assert logits.shape == (2, 6, env.num_actions)
+
+
 class TestPPO:
     def test_gae_matches_numpy(self):
         from gcm_tpu.rl.ppo import gae
