@@ -220,6 +220,38 @@ class TestDPTrainer:
             assert np.allclose(np.array(a), np.array(b), atol=1e-5)
         assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
 
+    def test_dp_update_matches_single_device_clique_window(self):
+        """dp_mesh A2C on core='clique': training replay routes through
+        CliqueGCM.window() (the [B·T,N,F] slot formulation) — sharded
+        updates must match single-device ones there too."""
+        from gcm_tpu.edges.dense import DenseEdge
+        from gcm_tpu.parallel.mesh import make_mesh
+        from gcm_tpu.rl.a2c import A2C
+        from gcm_tpu.rl.env import RecallEnv
+        from gcm_tpu.rl.wrappers import GCMActorCritic
+
+        env = RecallEnv(num_symbols=2, horizon=4, noise_dim=2)
+
+        def mk(mesh):
+            pol = GCMActorCritic(env.obs_dim, env.num_actions,
+                                 env.num_actions, core="clique",
+                                 graph_size=env.horizon + 1,
+                                 gnn_input_size=8, gnn_output_size=8,
+                                 edge_selectors=DenseEdge())
+            return A2C(env, pol, dp_mesh=mesh)
+
+        mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+        plain = mk(None)
+        dp = mk(mesh)
+        params, opt_state = plain.init(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        p1, o1, m1 = plain.update(params, opt_state, key, 16)
+        p2, o2, m2 = dp.update(params, opt_state, key, 16)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+        assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+
     def test_ppo_dp_update_matches_single_device(self):
         """PPO with dp_mesh: the permuted minibatch gather is re-constrained
         onto the dp axis after the gather (rl/ppo.py), so sharded updates are
