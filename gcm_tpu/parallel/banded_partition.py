@@ -131,3 +131,85 @@ def banded_scan_sharded(model: BandedRingGCM, mesh: Mesh, axis: str = "sp"):
         return jnp.swapaxes(outs, 0, 1), BandedState(nodes, t)
 
     return scan
+
+
+def clique_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
+    """Node-sharded CliqueGCM scan — the DenseEdge (complete-graph) memory
+    sharded over a mesh axis. Because every sink's aggregate is the same
+    masked sum (clique_gcm.py), the ONLY collective per conv layer is one
+    [B, F] psum of the local partial sums — comms O(B·F·L) per step,
+    independent of graph_size AND shard count (cheaper still than the
+    banded halo's O(B·h·F) ppermute). Parity with the unsharded
+    CliqueGCM.scan is pinned in tests/test_parallel.py.
+
+    Layout matches banded_scan_sharded: nodes sharded on the slot axis,
+    t/params/xs replicated; use `shard_banded_state` to place the state."""
+    from gcm_tpu.models.clique_gcm import CliqueGCM
+
+    assert isinstance(model, CliqueGCM), "clique_scan_sharded needs CliqueGCM"
+    d = mesh.shape[axis]
+    N = model.graph_size
+    assert N % d == 0, f"graph_size={N} must divide over {d} shards"
+    nb = N // d
+
+    def local_scan(params, xs_t, nodes_blk, t0):
+        i = jax.lax.axis_index(axis)
+        B = nodes_blk.shape[0]
+        b_idx = jnp.arange(B)
+        slots = i * nb + jnp.arange(nb)  # my global slot indices [nb]
+
+        def step(carry, x):
+            nodes_blk, t = carry
+            p = jnp.mod(t, N)
+            local_r = p - i * nb
+            in_range = (local_r >= 0) & (local_r < nb)
+            safe = jnp.clip(local_r, 0, nb - 1)
+            cur = nodes_blk[b_idx, safe]
+            nodes_blk = nodes_blk.at[b_idx, safe].set(
+                jnp.where(in_range[:, None], x.astype(cur.dtype), cur))
+
+            h_feats = nodes_blk
+            if model.preprocessor is not None:
+                h_feats = model.preprocessor(params["preprocessor"], h_feats)
+
+            age = jnp.mod(p[:, None] - slots[None, :], N)  # [B, nb]
+            alive = (age <= jnp.minimum(t, N - 1)[:, None]
+                     ).astype(h_feats.dtype)
+
+            gnn_params = params["gnn"]
+            for ci, act in zip(model._conv_idx, model._acts):
+                cp = gnn_params[ci]
+                agg = jax.lax.psum(
+                    jnp.sum(h_feats * alive[..., None], axis=1), axis)
+                out = (jnp.einsum("bnf,fo->bno", h_feats,
+                                  cp["lin_root"]["kernel"])
+                       + jnp.einsum("bf,fo->bo", agg,
+                                    cp["lin_rel"]["kernel"])[:, None, :])
+                if "bias" in cp["lin_rel"]:
+                    out = out + cp["lin_rel"]["bias"]
+                if act == "tanh":
+                    out = jnp.tanh(out)
+                elif act == "relu":
+                    out = jnp.maximum(out, 0.0)
+                h_feats = out
+
+            mine = h_feats[b_idx, safe] * in_range[:, None]
+            mx = jax.lax.psum(mine, axis)
+            return (nodes_blk, t + 1), mx
+
+        (nodes_blk, tF), outs = jax.lax.scan(step, (nodes_blk, t0), xs_t)
+        return outs, nodes_blk, tF
+
+    sharded = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis, None), P()),
+        out_specs=(P(), P(None, axis, None), P()),
+        check_rep=False,
+    )
+
+    def scan(params, xs, state: BandedState):
+        xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
+        outs, nodes, t = sharded(params, xs_t, state.nodes, state.t)
+        return jnp.swapaxes(outs, 0, 1), BandedState(nodes, t)
+
+    return scan
