@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gcm_tpu.models.banded_gcm import BandedRingGCM, BandedState
+from gcm_tpu.models.banded_gcm import (BandedRingGCM, BandedScoredState,
+                                       BandedState)
 
 
 def shard_banded_state(state: BandedState, mesh: Mesh, axis: str = "sp"):
@@ -35,6 +36,17 @@ def shard_banded_state(state: BandedState, mesh: Mesh, axis: str = "sp"):
     return BandedState(
         nodes=jax.device_put(
             state.nodes, NamedSharding(mesh, P(None, axis, None))),
+        t=jax.device_put(state.t, NamedSharding(mesh, P())),
+    )
+
+
+def shard_banded_scored_state(state: BandedScoredState, mesh: Mesh,
+                              axis: str = "sp"):
+    """Place a BandedScoredState with nodes AND band sharded over `axis`."""
+    sh = NamedSharding(mesh, P(None, axis, None))
+    return BandedScoredState(
+        nodes=jax.device_put(state.nodes, sh),
+        band=jax.device_put(state.band, sh),
         t=jax.device_put(state.t, NamedSharding(mesh, P())),
     )
 
@@ -129,6 +141,131 @@ def banded_scan_sharded(model: BandedRingGCM, mesh: Mesh, axis: str = "sp"):
         xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
         outs, nodes, t = sharded(params, xs_t, state.nodes, state.t)
         return jnp.swapaxes(outs, 0, 1), BandedState(nodes, t)
+
+    return scan
+
+
+def banded_scored_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
+    """Node-sharded BandedScoredGCM scan — windowed-distance memory larger
+    than one chip. Two collectives per step, both O(B·w·F) and independent
+    of N and shard count: one ppermute of the left neighbor's last w RAW
+    rows (the insert scores the new node against the previous w slots,
+    which may straddle the shard boundary), and one ppermute of the last w
+    post-preprocessor rows per conv layer (the banded halo). Parity with
+    the unsharded scan pinned in tests/test_parallel.py.
+
+    Requires window_size <= graph_size // num_shards (halo fits in one
+    neighbor block)."""
+    from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+    assert isinstance(model, BandedScoredGCM), (
+        "banded_scored_scan_sharded needs BandedScoredGCM")
+    d = mesh.shape[axis]
+    N = model.graph_size
+    w = model.window_size
+    assert N % d == 0, f"graph_size={N} must divide over {d} shards"
+    nb = N // d
+    assert w <= nb, "window (halo) must fit in one shard block"
+    perm = [(j, (j + 1) % d) for j in range(d)]  # left neighbor -> me
+
+    def local_scan(params, xs_t, nodes_blk, band_blk, t0):
+        i = jax.lax.axis_index(axis)
+        B = nodes_blk.shape[0]
+        b_idx = jnp.arange(B)
+        slots = i * nb + jnp.arange(nb)  # my global slot indices [nb]
+        ks = jnp.arange(1, w + 1)
+
+        def step(carry, x):
+            nodes_blk, band_blk, t = carry
+            p = jnp.mod(t, N)
+            local_r = p - i * nb
+            in_range = (local_r >= 0) & (local_r < nb)
+            safe = jnp.clip(local_r, 0, nb - 1)
+            cur = nodes_blk[b_idx, safe]
+            nodes_blk = nodes_blk.at[b_idx, safe].set(
+                jnp.where(in_range[:, None], x.astype(cur.dtype), cur))
+
+            # ---- score the inserted row against the previous w slots ----
+            # ext[m] = raw node at global slot (i*nb + m - w) mod N; source
+            # slot p-k sits at ext index w + local_r - k (ring ppermute
+            # covers both the shard boundary and the mod-N wrap)
+            halo_raw = jax.lax.ppermute(nodes_blk[:, nb - w:, :], axis, perm)
+            ext_raw = jnp.concatenate([halo_raw, nodes_blk], axis=1)
+            src_idx = jnp.clip(w + local_r[:, None] - ks[None, :],
+                               0, nb + w - 1)  # [B, w]
+            wnodes = jnp.take_along_axis(
+                ext_raw, src_idx[..., None], axis=1)  # [B, w, F]
+            valid = ks[None, :] <= jnp.minimum(t, N - 1)[:, None]
+            row = jnp.zeros((B, w), nodes_blk.dtype)
+            if model.distance is not None:
+                curr = x
+                wn = wnodes
+                if model.distance.learned:
+                    scale = params["distance"]["dist_param"]
+                    curr = curr / scale
+                    wn = wn / scale
+                dists = model.distance.dist_fn(curr, wn)  # [B, w]
+                row = jnp.where(
+                    (dists < model.distance.max_distance) & valid, 1.0, row)
+            for h in model.hops:
+                row = row.at[:, h - 1].set(
+                    jnp.where(valid[:, h - 1], 1.0, row[:, h - 1]))
+            bcur = band_blk[b_idx, safe]
+            band_blk = band_blk.at[b_idx, safe].set(
+                jnp.where(in_range[:, None], row.astype(bcur.dtype), bcur))
+
+            # ---- aggregation: w masked rolls via one halo per layer ----
+            h_feats = nodes_blk
+            if model.preprocessor is not None:
+                h_feats = model.preprocessor(params["preprocessor"], h_feats)
+
+            age = jnp.mod(p[:, None] - slots[None, :], N)  # [B, nb]
+            horizon = jnp.minimum(t, N - 1)[:, None]
+            sink_alive = age <= horizon
+
+            gnn_params = params["gnn"]
+            for ci, act in zip(model._conv_idx, model._acts):
+                cp = gnn_params[ci]
+                halo_h = jax.lax.ppermute(h_feats[:, nb - w:, :], axis, perm)
+                ext_h = jnp.concatenate([halo_h, h_feats], axis=1)
+                agg = jnp.zeros_like(h_feats)
+                for k in range(1, w + 1):
+                    src_alive = age + k <= horizon
+                    m = (band_blk[:, :, k - 1]
+                         * (sink_alive & src_alive).astype(h_feats.dtype))
+                    agg = agg + ext_h[:, w - k:w - k + nb, :] * m[..., None]
+                out = (jnp.einsum("bnf,fo->bno", agg,
+                                  cp["lin_rel"]["kernel"])
+                       + jnp.einsum("bnf,fo->bno", h_feats,
+                                    cp["lin_root"]["kernel"]))
+                if "bias" in cp["lin_rel"]:
+                    out = out + cp["lin_rel"]["bias"]
+                if act == "tanh":
+                    out = jnp.tanh(out)
+                elif act == "relu":
+                    out = jnp.maximum(out, 0.0)
+                h_feats = out
+
+            mine = h_feats[b_idx, safe] * in_range[:, None]
+            mx = jax.lax.psum(mine, axis)
+            return (nodes_blk, band_blk, t + 1), mx
+
+        (nodes_blk, band_blk, tF), outs = jax.lax.scan(
+            step, (nodes_blk, band_blk, t0), xs_t)
+        return outs, nodes_blk, band_blk, tF
+
+    sharded = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis, None), P(None, axis, None), P()),
+        out_specs=(P(), P(None, axis, None), P(None, axis, None), P()),
+        check_rep=False,
+    )
+
+    def scan(params, xs, state: BandedScoredState):
+        xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
+        outs, nodes, band, t = sharded(params, xs_t, state.nodes,
+                                       state.band, state.t)
+        return jnp.swapaxes(outs, 0, 1), BandedScoredState(nodes, band, t)
 
     return scan
 

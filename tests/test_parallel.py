@@ -187,6 +187,54 @@ class TestBandedPartition:
         self._run((2,), N=8, d=4)
 
 
+class TestBandedScoredPartition:
+    """Node-sharded BandedScoredGCM scan — windowed-distance memory over a
+    mesh axis (raw-window ppermute at insert + per-layer halo); parity vs
+    the unsharded scan on the virtual mesh."""
+
+    def _run(self, N, d, window, hops=(), B=2, F=4, T=None, learned=False):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+        from gcm_tpu.nn.module import MLP, Linear
+        from gcm_tpu.parallel.banded_partition import (
+            banded_scored_scan_sharded, shard_banded_scored_state)
+        from gcm_tpu.parallel.mesh import make_mesh
+
+        T = T or (2 * N + 3)  # wraps past capacity
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        dist = EuclideanEdge(max_distance=1.1, learned=learned,
+                             window=window)
+        model = BandedScoredGCM(gnn, distance=dist, hops=hops,
+                                preprocessor=MLP([Linear(F, F)]),
+                                graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        want, ws = model.scan(params, xs, model.initial_state(B, F))
+
+        mesh = make_mesh(dp=d, tp=1, devices=jax.devices()[:d])
+        scan = banded_scored_scan_sharded(model, mesh, axis="dp")
+        state = shard_banded_scored_state(model.initial_state(B, F), mesh,
+                                          axis="dp")
+        got, gs = jax.jit(scan)(params, xs, state)
+        assert np.allclose(np.array(want), np.array(got), atol=1e-5), (
+            np.abs(np.array(want) - np.array(got)).max())
+        assert np.allclose(np.array(ws.nodes), np.array(gs.nodes),
+                           atol=1e-6)
+        assert np.allclose(np.array(ws.band), np.array(gs.band), atol=1e-6)
+
+    def test_4way_window2(self):
+        self._run(N=16, d=4, window=2)
+
+    def test_8way_window_at_block_boundary(self):
+        # window == shard width: the halo is the whole neighbor block
+        self._run(N=16, d=8, window=2)
+
+    def test_4way_with_hops_and_learned_scale(self):
+        self._run(N=16, d=4, window=3, hops=(1,), learned=True)
+
+
 class TestCliquePartition:
     """Node-sharded CliqueGCM scan — the shared clique aggregate makes the
     only collective one [B,F] psum per layer-step; parity vs the unsharded
