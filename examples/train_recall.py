@@ -43,6 +43,10 @@ def build_policy(env, sparse: bool, core: str = "dense"):
 
         sel = EdgeChain([TemporalBackedge([1]),
                          EuclideanEdge(1.0, window=4)])
+    elif core == "clique":
+        from gcm_tpu.edges.dense import DenseEdge
+
+        sel = DenseEdge()
     else:
         sel = TemporalBackedge([1])
     return GCMActorCritic(env.obs_dim, env.num_actions, env.num_actions,
@@ -70,7 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sparse", action="store_true")
     ap.add_argument("--core", default="dense",
-                    choices=["dense", "ring", "banded", "banded_scored"])
+                    choices=["dense", "ring", "banded", "banded_scored",
+                             "clique", "auto"])
     ap.add_argument("--ppo", action="store_true")
     ap.add_argument("--env", default="recall", choices=["recall", "tmaze"])
     ap.add_argument("--updates", type=int, default=400)
