@@ -347,7 +347,7 @@ def bench_dense_edge(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256):
 
 
 def bench_clique(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256,
-                 window=False, n_lo=4, n_hi=68, Tw=64):
+                 window=False, n_lo=4, n_hi=68, Tw=64, impl="gather"):
     """CliqueGCM — the DenseEdge fast path on the config-2 workload
     (fully-connected past @ graph_size=512). window=False: stepwise scan
     (O(N·F·F')/step vs DenseGCM's O(N²·F)); window=True: the scan-free
@@ -373,7 +373,7 @@ def bench_clique(B=32, obs=8, hidden=32, N=512, T_lo=64, T_hi=256,
 
         def body(carry, x_w):
             st, acc = carry
-            outs, st2 = model.window(p, x_w, st)
+            outs, st2 = model.window(p, x_w, st, impl=impl)
             return (st2, acc + jnp.sum(outs)), None
 
         (_, acc), _ = jax.lax.scan(body, (st0, 0.0), xs[:n_win])
@@ -496,6 +496,7 @@ def main():
     dense_edge = bench_dense_edge()
     clique = bench_clique()
     clique_win = bench_clique(window=True)
+    clique_win_proj = bench_clique(window=True, impl="proj")
     euclid = bench_distance("euclidean")
     cosine = bench_distance("cosine")
     spatial = bench_distance("spatial")
@@ -517,6 +518,7 @@ def main():
         "dense_edge_n512_timesteps_per_s": round(dense_edge),
         "clique_n512_timesteps_per_s": round(clique),
         "clique_window_n512_timesteps_per_s": round(clique_win),
+        "clique_window_proj_n512_timesteps_per_s": round(clique_win_proj),
         "euclidean_timesteps_per_s": round(euclid),
         "cosine_timesteps_per_s": round(cosine),
         "spatial_timesteps_per_s": round(spatial),

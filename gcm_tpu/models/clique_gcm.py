@@ -138,7 +138,119 @@ class CliqueGCM:
         return jnp.swapaxes(outs, 0, 1), final_state
 
     # -- whole-trajectory parallel forward -----------------------------------
-    def window(self, params, xs, state: BandedState, dones=None):
+    def _prefix_agg(self, feats_seq, feats_old, t0, t_eff, horizon, N):
+        """Layer-0 alive-masked aggregate A0 [B, T, F] via prefix sums —
+        no [B,T,N,F] tensor. Alive window nodes at step i are the
+        CONTIGUOUS counter range [i-horizon_i, i] (each maps to a distinct
+        slot since horizon < N), so their sum is a cumsum difference; alive
+        pre-window slots are ages 1..min(t0, N-1-i) in age order (and none
+        once an episode reset occurred), a cumsum over the age-sorted old
+        rows."""
+        B, T, F = feats_seq.shape
+        i = jnp.arange(T)[None, :]
+        C = jnp.cumsum(feats_seq, axis=1)  # [B, T, F]
+        lo = i - horizon  # [B, T] first alive window index
+        gather_lo = jnp.take_along_axis(
+            C, jnp.clip(lo - 1, 0, T - 1)[..., None], axis=1)
+        A_win = C - jnp.where((lo >= 1)[..., None], gather_lo, 0.0)
+        # old rows sorted by age: age a lives at slot (t0 - a) mod N
+        ages = jnp.arange(1, N + 1)[None, :]  # [1, N]
+        slot_of_age = jnp.mod(t0[:, None] - ages, N)  # [B, N]
+        old_sorted = jnp.take_along_axis(
+            feats_old, slot_of_age[..., None], axis=1)  # [B, N, F]
+        D = jnp.cumsum(old_sorted, axis=1)  # D[:, m-1] = sum of ages 1..m
+        no_reset = t_eff == t0[:, None] + i
+        m = jnp.where(no_reset,
+                      jnp.clip(jnp.minimum(t0[:, None], N - 1 - i), 0, N),
+                      0)  # [B, T] max alive old age
+        gather_m = jnp.take_along_axis(
+            D, jnp.clip(m - 1, 0, N - 1)[..., None], axis=1)
+        A_old = jnp.where((m >= 1)[..., None], gather_m, 0.0)
+        return A_win + A_old
+
+    def _window_proj(self, params, xs, state: BandedState, dones=None):
+        """`window(impl='proj')` — same outputs as the gather variant up to
+        float reassociation (the alive sum becomes a cumsum difference),
+        but the first conv layer never runs a matmul over the [B·T, N, F]
+        content tensor: the root projections are computed per ROW
+        ([B,T,F]@W and [B,N,F]@W) and gathered, the layer-0 aggregate comes
+        from prefix sums (`_prefix_agg`), and the final layer runs on the
+        diagonal only (the inserted slot's content is exactly x_i, so its
+        projected root term is R_seq[i] — no gather). For 1-layer stacks no
+        [B·T,N,*] tensor exists at all; for 2-layer stacks the only one is
+        the elementwise act(R_g + Q) feeding a masked reduce, which XLA can
+        fuse without materializing the matmul input the gather variant
+        forces. Dispatch between the variants is by TPU measurement
+        (bench_clique)."""
+        nodes0, t0 = state
+        B, T, F = xs.shape
+        N = self.graph_size
+        b_idx = jnp.arange(B)
+
+        t_eff, r_last = _window_time(t0, T, dones)
+        horizon = jnp.minimum(t_eff, N - 1)  # [B, T]
+        p = jnp.mod(t_eff, N)  # [B, T]
+
+        feats_seq = xs
+        feats_old = nodes0
+        if self.preprocessor is not None:
+            feats_seq = self.preprocessor(params["preprocessor"], xs)
+            feats_old = self.preprocessor(params["preprocessor"], nodes0)
+
+        gnn_params = params["gnn"]
+        L = len(self._conv_idx)
+        cp0 = gnn_params[self._conv_idx[0]]
+        act0 = self._acts[0]
+
+        A0 = self._prefix_agg(feats_seq, feats_old, t0, t_eff, horizon, N)
+        rel0 = jnp.einsum("btf,fo->bto", A0, cp0["lin_rel"]["kernel"])
+        R_seq = jnp.einsum("btf,fo->bto", feats_seq,
+                           cp0["lin_root"]["kernel"])
+        diag0 = self._apply_layer(
+            cp0, act0, R_seq, rel0)  # layer-1 features of the inserted slot
+
+        if L == 1:
+            outs = diag0
+        else:
+            i_iota = jnp.arange(T)[None, :, None]
+            slots = jnp.arange(N)[None, None, :]
+            age = jnp.mod(p[..., None] - slots, N)  # [B, T, N]
+            alive = age <= horizon[..., None]
+            in_window = age <= i_iota
+            j_idx = jnp.clip(i_iota - age, 0, T - 1)
+            R_old = jnp.einsum("bnf,fo->bno", feats_old,
+                               cp0["lin_root"]["kernel"])
+            R_g = jnp.where(in_window[..., None],
+                            R_seq[b_idx[:, None, None], j_idx],
+                            R_old[:, None, :, :])  # [B, T, N, O]
+            feats = self._apply_layer(cp0, act0, R_g,
+                                      rel0[:, :, None, :])
+            feats = feats.reshape(B * T, N, -1)
+            aliveF = alive.astype(xs.dtype).reshape(B * T, N)
+            p_flat = p.reshape(B * T)
+            diag_prev = diag0.reshape(B * T, -1)
+            for li in range(1, L):
+                ci, act = self._conv_idx[li], self._acts[li]
+                cp = gnn_params[ci]
+                last = li == L - 1
+                agg = jnp.sum(feats * aliveF[..., None], axis=1)
+                rel = jnp.einsum("bf,fo->bo", agg, cp["lin_rel"]["kernel"])
+                if last:
+                    root = jnp.einsum("bf,fo->bo", diag_prev,
+                                      cp["lin_root"]["kernel"])
+                    outs = self._apply_layer(cp, act, root, rel)
+                    outs = outs.reshape(B, T, -1)
+                else:
+                    root = jnp.einsum("bnf,fo->bno", feats,
+                                      cp["lin_root"]["kernel"])
+                    feats = self._apply_layer(cp, act, root, rel[:, None, :])
+                    diag_prev = feats[jnp.arange(B * T), p_flat]
+
+        nodes_F, t_F = _ring_final(nodes0, xs, t0, N, r_last)
+        return outs, BandedState(nodes_F, t_F)
+
+    def window(self, params, xs, state: BandedState, dones=None,
+               impl: str = "gather"):
         """Whole-trajectory forward WITHOUT the scan: same outputs as
         `scan` up to float reassociation — a few ULP of the pre-activation
         scale, because backend GEMMs accumulate in a row-count-dependent
@@ -160,7 +272,14 @@ class CliqueGCM:
         Slots whose newest write is from a previous episode are dead under
         the within-episode age mask and contribute exactly 0 to the
         aggregate (their gathered content is masked, matching the scan's
-        zeroed buffer)."""
+        zeroed buffer).
+
+        impl: 'gather' (this default path) or 'proj' (`_window_proj`:
+        per-row root projections + prefix-sum aggregate, no big matmul —
+        pick by TPU measurement, bench_clique)."""
+        if impl == "proj":
+            return self._window_proj(params, xs, state, dones=dones)
+        assert impl == "gather", impl
         nodes0, t0 = state
         B, T, F = xs.shape
         N = self.graph_size

@@ -45,8 +45,9 @@ def test_bench_banded_window_runs(train):
     assert np.isfinite(rate) and rate > 0
 
 
-@pytest.mark.parametrize("window", [False, True])
-def test_bench_clique_runs(window):
+@pytest.mark.parametrize("window,impl", [(False, "gather"),
+                                         (True, "gather"), (True, "proj")])
+def test_bench_clique_runs(window, impl):
     rate = bench.bench_clique(B=2, N=16, T_lo=4, T_hi=8, window=window,
-                              n_lo=1, n_hi=3, Tw=8)
+                              n_lo=1, n_hi=3, Tw=8, impl=impl)
     assert np.isfinite(rate) and rate > 0

@@ -102,8 +102,10 @@ class TestCliqueWindowParity:
         return CliqueGCM(DenseGNN(stack), preprocessor=MLP([Linear(F, F)]),
                          graph_size=N)
 
-    @pytest.mark.parametrize("layers", [1, 2, 3])
-    def test_bitwise_parity_all_regimes(self, layers):
+    @pytest.mark.parametrize("layers,impl", [(1, "gather"), (2, "gather"),
+                                             (3, "gather"), (1, "proj"),
+                                             (2, "proj"), (3, "proj")])
+    def test_bitwise_parity_all_regimes(self, layers, impl):
         F, B, N = 4, 3, 8
         m = self._model(N, F, layers)
         params = m.init(jax.random.PRNGKey(0))
@@ -122,24 +124,25 @@ class TestCliqueWindowParity:
         ]
         for xw, st0, dn in cases:
             o1, s1 = m.scan(params, xw, st0, dones=dn)
-            o2, s2 = m.window(params, xw, st0, dones=dn)
+            o2, s2 = m.window(params, xw, st0, dones=dn, impl=impl)
             assert np.allclose(np.array(o1), np.array(o2),
                                rtol=1e-5, atol=1e-5)
             assert np.array_equal(np.array(s1.nodes), np.array(s2.nodes))
             assert np.array_equal(np.array(s1.t), np.array(s2.t))
 
-    def test_gradients_match_scan(self):
+    @pytest.mark.parametrize("impl", ["gather", "proj"])
+    def test_gradients_match_scan(self, impl):
         F, B, N, T = 4, 2, 8, 12
         m = self._model(N, F)
         params = m.init(jax.random.PRNGKey(0))
         xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
 
-        def loss(fwd, p):
-            o, _ = fwd(p, xs, m.initial_state(B, F))
+        def loss(fwd, p, **kw):
+            o, _ = fwd(p, xs, m.initial_state(B, F), **kw)
             return jnp.sum(o ** 2)
 
         g1 = jax.grad(lambda p: loss(m.scan, p))(params)
-        g2 = jax.grad(lambda p: loss(m.window, p))(params)
+        g2 = jax.grad(lambda p: loss(m.window, p, impl=impl))(params)
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g2)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-5)
