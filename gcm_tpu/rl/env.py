@@ -96,7 +96,12 @@ class CartPoleEnv:
 
     masked_velocity=True drops x_dot/theta_dot from the observation — the
     classic POMDP variant where a memoryless policy cannot infer the state
-    and the graph memory has to supply the missing derivatives."""
+    and the graph memory has to supply the missing derivatives. Measured
+    (A2C, 600 updates, B=64, horizon 64, reward_scale 0.05, CPU): a banded
+    GCM policy (hops=[1,2], graph_size=16) saturates the 64-step cap
+    (eplen 63.4, exactly 64.0 from update ~500) while the memoryless
+    control (graph_size=1, no reachable edges) plateaus at eplen ~54;
+    random is ~20."""
 
     GRAVITY = 9.8
     MASS_CART = 1.0
