@@ -333,10 +333,11 @@ class GCMActorCritic:
             else jnp.zeros((B, T), jnp.int32))
         if key is None and getattr(self.core, "window", None) is not None \
                 and getattr(self.core, "direction", "forward") == "forward":
-            # banded cores: scan-free whole-trajectory stencil forward,
-            # bitwise-identical to scan (tests/test_banded_gcm.py::
-            # TestWindowParity) and measured far faster — the training-side
-            # win of the banded design
+            # fast cores (banded/clique): scan-free whole-trajectory
+            # forward, output-identical to scan (bitwise for the banded
+            # stencils, test_banded_gcm.py::TestWindowParity; within float-
+            # reassociation ULPs for the clique, test_clique_gcm.py) and
+            # measured far faster — the training-side win of these designs
             beliefs, state = self.core.window(params["core"], x, state,
                                               dones=dones)
         else:
