@@ -31,6 +31,30 @@ def make_dense_supervised_step(model, opt):
     return step
 
 
+def make_window_supervised_step(model, opt, **window_kwargs):
+    """Supervised step through a window-capable core's scan-free
+    whole-trajectory forward (BandedRingGCM / BandedScoredGCM / CliqueGCM
+    .window()) — the training-side fast path with no lax.scan in either
+    direction of the program. window_kwargs (e.g. impl='proj' for
+    CliqueGCM) are forwarded."""
+
+    def loss_fn(params, xs, targets, dones):
+        B = xs.shape[0]
+        state = model.initial_state(B, xs.shape[-1], dtype=xs.dtype)
+        outs, _ = model.window(params, xs, state, dones=dones,
+                               **window_kwargs)
+        return jnp.mean((outs - targets) ** 2)
+
+    def step(params, opt_state, xs, targets, dones=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xs, targets,
+                                                  dones)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_sparse_supervised_step(model, opt):
     """Whole-rollout step through SparseGCM (time-batched training)."""
 

@@ -103,6 +103,46 @@ class TestTPParity:
                         jax.tree_util.tree_leaves(p_out)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-4)
 
+    def test_window_train_step_dp_tp(self):
+        """Train step through the scan-free window() forward under dp×tp
+        matches the unsharded step (and the scan-based step's loss)."""
+        from gcm_tpu.models.banded_gcm import BandedRingGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+        from gcm_tpu.train.train_step import make_window_supervised_step
+
+        B, T, hidden = 8, 6, 16
+        model = BandedRingGCM(
+            DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh]),
+            hops=(1,), graph_size=12)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = make_window_supervised_step(model, opt)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, hidden))
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (B, T, hidden))
+
+        p_ref, _, loss_ref = step(params, opt_state, xs, tgt)
+
+        mesh = make_mesh(dp=4, tp=2)
+        p_shard = to_named(mesh, param_specs(params))
+        params_s = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        data_shard = NamedSharding(mesh, P("dp", None, None))
+        jit_step = jax.jit(step)
+        p_out, _, loss_out = jit_step(params_s, opt_state,
+                                      jax.device_put(xs, data_shard),
+                                      jax.device_put(tgt, data_shard))
+        assert np.allclose(float(loss_ref), float(loss_out), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_out)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-4)
+
+        # the window loss equals the scan loss (same forward, no scan)
+        from gcm_tpu.train.train_step import make_dense_supervised_step
+
+        scan_step = make_dense_supervised_step(model, opt)
+        _, _, loss_scan = scan_step(params, opt_state, xs, tgt)
+        assert np.allclose(float(loss_scan), float(loss_ref), atol=1e-6)
+
     def test_sparse_train_step_dp(self):
         B, T, obs, hidden = 8, 4, 8, 16
         model = readme_sparse_gcm(obs_size=obs, hidden=hidden, graph_size=12,
