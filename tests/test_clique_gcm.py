@@ -88,6 +88,49 @@ class TestCliqueParity:
         assert all(n > 0 for n in norms), norms
 
 
+class TestCliqueWindowProperty:
+    """Randomized window-vs-scan parity over the algebraically tricky axes:
+    graph size vs trajectory length (wrap depth), pre-existing state depth,
+    random reset patterns, layer count, and both window implementations."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def test_window_matches_scan_random(self, data):
+        st_ = self.st
+        N = data.draw(st_.integers(2, 9), label="N")
+        T = data.draw(st_.integers(1, 20), label="T")
+        B = data.draw(st_.integers(1, 3), label="B")
+        layers = data.draw(st_.integers(1, 3), label="layers")
+        warm = data.draw(st_.integers(0, 12), label="warm")
+        impl = data.draw(st_.sampled_from(["gather", "proj"]), label="impl")
+        p_done = data.draw(st_.sampled_from([0.0, 0.2, 0.5]), label="p_done")
+        seed = data.draw(st_.integers(0, 2**16), label="seed")
+
+        F = 3
+        stack = []
+        for _ in range(layers):
+            stack += [DenseGraphConv(F, F), jnp.tanh]
+        m = CliqueGCM(DenseGNN(stack), preprocessor=MLP([Linear(F, F)]),
+                      graph_size=N)
+        params = m.init(jax.random.PRNGKey(seed))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+        st0 = m.initial_state(B, F)
+        if warm:
+            _, st0 = m.scan(params, jax.random.normal(k1, (B, warm, F)),
+                            st0)
+        xs = jax.random.normal(k2, (B, T, F))
+        dones = (jax.random.bernoulli(k3, p_done, (B, T))
+                 if p_done else None)
+        o1, s1 = m.scan(params, xs, st0, dones=dones)
+        o2, s2 = m.window(params, xs, st0, dones=dones, impl=impl)
+        assert np.allclose(np.array(o1), np.array(o2),
+                           rtol=1e-4, atol=1e-4)
+        assert np.array_equal(np.array(s1.nodes), np.array(s2.nodes))
+        assert np.array_equal(np.array(s1.t), np.array(s2.t))
+
+
 class TestCliqueWindowParity:
     """window() vs scan(): outputs within float-reassociation tolerance
     (backend GEMMs accumulate in a row-count-dependent order, so [B·T,F]
