@@ -331,3 +331,48 @@ class TestScoredWindowParity:
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g2)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+class TestScoredWindowProperty:
+    """Randomized scored-band window-vs-scan parity over wrap depth,
+    pre-existing state, window size vs graph size, and reset patterns."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def test_window_matches_scan_random(self, data):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+        from gcm_tpu.nn.module import MLP, Linear
+
+        st_ = self.st
+        N = data.draw(st_.integers(3, 9), label="N")
+        w = data.draw(st_.integers(1, min(4, N - 1)), label="window")
+        T = data.draw(st_.integers(1, 18), label="T")
+        B = data.draw(st_.integers(1, 3), label="B")
+        warm = data.draw(st_.integers(0, 10), label="warm")
+        p_done = data.draw(st_.sampled_from([0.0, 0.25]), label="p_done")
+        seed = data.draw(st_.integers(0, 2**16), label="seed")
+
+        F = 3
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        m = BandedScoredGCM(gnn, distance=EuclideanEdge(1.2),
+                            preprocessor=MLP([Linear(F, F)]),
+                            window=w, graph_size=N)
+        params = m.init(jax.random.PRNGKey(seed))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+        st0 = m.initial_state(B, F)
+        if warm:
+            _, st0 = m.scan(params, jax.random.normal(k1, (B, warm, F)),
+                            st0)
+        xs = jax.random.normal(k2, (B, T, F))
+        dones = (jax.random.bernoulli(k3, p_done, (B, T))
+                 if p_done else None)
+        o1, s1 = m.scan(params, xs, st0, dones=dones)
+        o2, s2 = m.window(params, xs, st0, dones=dones)
+        assert np.allclose(np.array(o1), np.array(o2),
+                           rtol=1e-4, atol=1e-4)
+        for a, b in zip(s1, s2):
+            assert np.array_equal(np.array(a), np.array(b))
