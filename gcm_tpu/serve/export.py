@@ -17,12 +17,12 @@ from gcm_tpu.core.graph_state import (
     DenseGraphState,
     SparseGraphState,
 )
-from gcm_tpu.models.banded_gcm import BandedState
+from gcm_tpu.models.banded_gcm import BandedScoredState, BandedState
 from gcm_tpu.models.nav_gcm import NavState
 from gcm_tpu.models.ring_gcm import RingGraphState
 
 for _nt in (DenseGraphState, SparseGraphState, RingGraphState, BandedState,
-            NavState):
+            BandedScoredState, NavState):
     try:
         jax_export.register_namedtuple_serialization(
             _nt, serialized_name=f"gcm_tpu.{_nt.__name__}")

@@ -1,0 +1,123 @@
+"""Batched streaming inference with per-session recurrent graph memory.
+
+The reference serves its memory models through rllib policy workers (one
+recurrent state per env, ray_gcm.py:173-212); a production TPU serving
+process wants the same thing for request streams: each client session owns
+a persistent graph memory, requests arrive in arbitrary interleavings, and
+the chip should always step ONE fixed-shape batch (XLA static shapes; a
+masked no-op row costs the same as a live one and compiles once).
+
+`SessionServer` keeps a fixed `capacity`-row state pool resident on device:
+
+- requests are (session_id, obs) pairs; unknown ids are allocated a free
+  row with freshly-zeroed memory (LRU-evicting an idle session when full),
+- one jitted masked step advances exactly the rows with a request this
+  call (inactive rows' state is passed through untouched),
+- `end_session` frees a row immediately.
+
+The pool never changes shape, so the jitted step compiles once per
+(capacity, obs_dim) and every call costs the same regardless of how many
+sessions are live.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.core.graph_state import reset_where
+
+
+class SessionServer:
+    def __init__(self, model, params, capacity: int, obs_dim: int,
+                 dtype=jnp.float32):
+        self.model = model
+        self.params = params
+        self.capacity = capacity
+        self.obs_dim = obs_dim
+        self.state = model.initial_state(capacity, obs_dim, dtype=dtype)
+        self._row_of: dict = {}          # session_id -> row
+        self._free = list(range(capacity - 1, -1, -1))  # pop() -> row 0 first
+        self._clock = itertools.count()
+        self._last_used: dict = {}       # session_id -> clock tick
+
+        def masked_step(params, obs, state, active):
+            beliefs, new_state = model(params, obs, state)
+
+            def merge(n, o):
+                # leaves without a per-session leading axis (e.g. the
+                # size-0 placeholder weights) pass through unchanged —
+                # same guard as graph_state.reset_where
+                if n.ndim == 0 or n.shape[0] != capacity:
+                    return n
+                m = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+
+            merged = jax.tree_util.tree_map(merge, new_state, state)
+            return beliefs, merged
+
+        self._step = jax.jit(masked_step)
+        self._reset_rows = jax.jit(reset_where)
+
+    # -- row management ------------------------------------------------------
+    def _allocate(self, sid):
+        if not self._free:
+            # evict the least-recently-used session that holds a row
+            # (requesters are recency-bumped before allocation, so a session
+            # in the current batch is never the victim)
+            victim = min((s for s in self._last_used if s in self._row_of),
+                         key=self._last_used.get)
+            self.end_session(victim)
+        row = self._free.pop()
+        self._row_of[sid] = row
+        # fresh memory for the reused row
+        onehot = jnp.zeros((self.capacity,), bool).at[row].set(True)
+        self.state = self._reset_rows(self.state, onehot)
+        return row
+
+    def end_session(self, sid) -> None:
+        """Free a session's row (its memory is wiped on reuse)."""
+        row = self._row_of.pop(sid, None)
+        self._last_used.pop(sid, None)
+        if row is not None:
+            self._free.append(row)
+
+    @property
+    def num_active(self) -> int:
+        return len(self._row_of)
+
+    # -- inference -----------------------------------------------------------
+    def step(self, requests: dict) -> dict:
+        """requests: {session_id: obs [obs_dim] array-like}. Steps every
+        requesting session's memory one tick in a single device call and
+        returns {session_id: belief}. Sessions not in `requests` are
+        untouched."""
+        if not requests:
+            return {}
+        assert len(requests) <= self.capacity, (
+            f"{len(requests)} requests > capacity {self.capacity}")
+        # bump recency for every requester FIRST so a session in this very
+        # batch can never be the LRU-eviction victim of another's allocation
+        for sid in requests:
+            self._last_used[sid] = next(self._clock)
+        rows, sids = [], []
+        for sid in requests:
+            row = self._row_of.get(sid)
+            if row is None:
+                row = self._allocate(sid)
+            rows.append(row)
+            sids.append(sid)
+
+        obs = np.zeros((self.capacity, self.obs_dim), np.float32)
+        active = np.zeros((self.capacity,), bool)
+        for sid, row in zip(sids, rows):
+            obs[row] = np.asarray(requests[sid], np.float32)
+            active[row] = True
+
+        beliefs, self.state = self._step(self.params, jnp.asarray(obs),
+                                         self.state, jnp.asarray(active))
+        beliefs = np.asarray(beliefs)
+        return {sid: beliefs[row] for sid, row in zip(sids, rows)}

@@ -1,0 +1,123 @@
+"""SessionServer — batched streaming inference with per-session memory.
+
+The correctness bar: however requests interleave across sessions, each
+session's belief stream must equal running its observation sequence alone
+through the model (row assignment, masking, and other sessions' traffic
+must be invisible).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.models.ring_gcm import RingDenseGCM
+from gcm_tpu.edges.temporal import TemporalBackedge
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import MLP, Linear
+from gcm_tpu.serve.sessions import SessionServer
+
+
+def make_model(F=4, N=6):
+    gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh])
+    return RingDenseGCM(gnn, preprocessor=MLP([Linear(F, F)]),
+                        edge_selectors=TemporalBackedge([1]), graph_size=N)
+
+
+def solo_beliefs(model, params, xs):
+    """Reference: the session's stream alone through model.scan."""
+    outs, _ = model.scan(params, xs[None], model.initial_state(1,
+                                                               xs.shape[-1]))
+    return np.asarray(outs[0])
+
+
+class TestSessionServer:
+    def test_interleaved_sessions_match_solo_runs(self):
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=3, obs_dim=F)
+
+        streams = {sid: jax.random.normal(jax.random.PRNGKey(10 + sid),
+                                          (5, F)) for sid in (1, 2, 3)}
+        got = {sid: [] for sid in streams}
+        # interleave: s1 on every call, s2 on even, s3 on odd
+        cursors = {sid: 0 for sid in streams}
+        schedule = [(1, 2), (1, 3), (1, 2), (1, 3), (1, 2), (2,), (3,),
+                    (1, 3), (2, 3), (3,)]
+        for sids in schedule:
+            reqs = {}
+            for sid in sids:
+                if cursors[sid] < 5:
+                    reqs[sid] = streams[sid][cursors[sid]]
+                    cursors[sid] += 1
+            out = srv.step(reqs)
+            for sid, b in out.items():
+                got[sid].append(b)
+
+        for sid, xs in streams.items():
+            want = solo_beliefs(model, params, xs[:cursors[sid]])
+            np.testing.assert_allclose(np.stack(got[sid]), want, atol=1e-5)
+
+    def test_lru_eviction_and_fresh_memory(self):
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=2, obs_dim=F)
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (F,)))
+
+        srv.step({"a": x})
+        srv.step({"b": x})
+        srv.step({"a": x})          # b is now LRU
+        assert srv.num_active == 2
+        out_c = srv.step({"c": x})  # evicts b
+        assert srv.num_active == 2 and "b" not in srv._row_of
+        # c starts from fresh memory: first belief == solo first belief
+        want = solo_beliefs(model, params, jnp.asarray(x)[None])[0]
+        np.testing.assert_allclose(out_c["c"], want, atol=1e-5)
+        # b rejoins as a NEW session (fresh memory), in a's old slot or b's
+        out_b = srv.step({"b": x})
+        np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
+
+    def test_victim_never_in_current_batch(self):
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=2, obs_dim=F)
+        x = np.zeros(F, np.float32)
+        srv.step({"a": x})
+        srv.step({"b": x})
+        # a is LRU, but a is also in this batch -> b must be evicted instead
+        srv.step({"a": x, "c": x})
+        assert "a" in srv._row_of and "c" in srv._row_of
+        assert "b" not in srv._row_of
+
+    def test_end_session_frees_row(self):
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=1, obs_dim=F)
+        x = np.zeros(F, np.float32)
+        srv.step({"a": x})
+        srv.end_session("a")
+        assert srv.num_active == 0
+        out = srv.step({"b": x})  # no eviction needed, fresh row
+        want = solo_beliefs(model, params, jnp.zeros((1, F)))[0]
+        np.testing.assert_allclose(out["b"], want, atol=1e-5)
+
+    def test_idle_sessions_untouched(self):
+        """A session receiving no request must not advance: its next belief
+        equals the solo run's next belief regardless of other traffic."""
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=2, obs_dim=F)
+        xs = jax.random.normal(jax.random.PRNGKey(3), (3, F))
+        noise = jax.random.normal(jax.random.PRNGKey(4), (F,))
+
+        b0 = srv.step({"s": xs[0]})["s"]
+        for _ in range(4):  # heavy unrelated traffic
+            srv.step({"other": noise})
+        b1 = srv.step({"s": xs[1]})["s"]
+        b2 = srv.step({"s": xs[2]})["s"]
+        want = solo_beliefs(model, params, xs)
+        np.testing.assert_allclose(np.stack([b0, b1, b2]), want, atol=1e-5)
