@@ -34,7 +34,8 @@ class A2C:
                  value_coef: float = 0.5, entropy_coef: float = 0.01,
                  rollout_len: int | None = None,
                  log_grad_norms: bool = False,
-                 dp_mesh=None, dp_axis: str = "dp"):
+                 dp_mesh=None, dp_axis: str = "dp",
+                 opt=None, max_grad_norm: float | None = None):
         self.env = env
         self.policy = policy
         # dp_mesh: a jax.sharding.Mesh for data-parallel training. The
@@ -49,7 +50,13 @@ class A2C:
         self.value_coef = value_coef
         self.entropy_coef = entropy_coef
         self.rollout_len = rollout_len or env.horizon
-        self.opt = optax.adam(lr)
+        # opt: any optax GradientTransformation overrides the default
+        # adam(lr); max_grad_norm prepends global-norm clipping (the
+        # standard rllib grad_clip knob the reference trains under)
+        base_opt = opt if opt is not None else optax.adam(lr)
+        self.opt = (optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                                base_opt)
+                    if max_grad_norm is not None else base_opt)
         # per-parameter grad-norm observability (reference registers backward
         # hooks per param, sparse_edge_selectors/learned.py:67-68,85-87)
         self.log_grad_norms = log_grad_norms

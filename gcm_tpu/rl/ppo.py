@@ -45,7 +45,8 @@ class PPO(A2C):
                  epochs: int = 4, num_minibatches: int = 2,
                  rollout_len: int | None = None,
                  log_grad_norms: bool = False,
-                 dp_mesh=None, dp_axis: str = "dp"):
+                 dp_mesh=None, dp_axis: str = "dp",
+                 opt=None, max_grad_norm: float | None = None):
         # dp_mesh: data-parallel training over a mesh, same contract as A2C
         # (the reference's adapter is trainer-agnostic, ray_gcm.py:173-212 —
         # every trainer gets the same batch-sharded execution). The permuted
@@ -56,7 +57,8 @@ class PPO(A2C):
                          value_coef=value_coef, entropy_coef=entropy_coef,
                          rollout_len=rollout_len,
                          log_grad_norms=log_grad_norms,
-                         dp_mesh=dp_mesh, dp_axis=dp_axis)
+                         dp_mesh=dp_mesh, dp_axis=dp_axis,
+                         opt=opt, max_grad_norm=max_grad_norm)
         self.lam = lam
         self.clip_eps = clip_eps
         self.epochs = epochs

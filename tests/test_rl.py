@@ -256,6 +256,48 @@ class TestCliqueCoreWrapper:
                         edge_selectors=TemporalBackedge([1]))
 
 
+class TestTrainerOptKnobs:
+    def test_max_grad_norm_clips(self):
+        """A vanishingly small clip norm freezes training; the same seed
+        without clipping moves the params."""
+        from gcm_tpu.rl.a2c import A2C
+
+        env = RecallEnv(num_symbols=2, horizon=3, noise_dim=2)
+        pol = make_policy(env, gnn_input_size=8, gnn_output_size=8)
+
+        def one_update(**kw):
+            tr = A2C(env, pol, lr=1e-2, **kw)
+            p0, o0 = tr.init(jax.random.PRNGKey(0))
+            p1, _, _ = tr.update(p0, o0, jax.random.PRNGKey(1), 8)
+            return max(float(jnp.abs(a - b).max()) for a, b in
+                       zip(jax.tree_util.tree_leaves(p0),
+                           jax.tree_util.tree_leaves(p1)))
+
+        assert one_update(max_grad_norm=1e-12) < 1e-6
+        assert one_update() > 1e-4
+
+    def test_custom_optimizer(self):
+        """opt= overrides the default adam (sgd produces different params
+        from the same grads)."""
+        import optax
+
+        from gcm_tpu.rl.a2c import A2C
+
+        env = RecallEnv(num_symbols=2, horizon=3, noise_dim=2)
+        pol = make_policy(env, gnn_input_size=8, gnn_output_size=8)
+        tr_adam = A2C(env, pol, lr=1e-2)
+        tr_sgd = A2C(env, pol, opt=optax.sgd(1e-2))
+        p0, _ = tr_adam.init(jax.random.PRNGKey(0))
+        pa, _, _ = tr_adam.update(p0, tr_adam.opt.init(p0),
+                                  jax.random.PRNGKey(1), 8)
+        ps, _, _ = tr_sgd.update(p0, tr_sgd.opt.init(p0),
+                                 jax.random.PRNGKey(1), 8)
+        diffs = [float(jnp.abs(a - b).max()) for a, b in
+                 zip(jax.tree_util.tree_leaves(pa),
+                     jax.tree_util.tree_leaves(ps))]
+        assert max(diffs) > 1e-5
+
+
 class TestAutoCore:
     """core='auto' picks the fastest parity core the selector structure
     provably supports (per the BASELINE.md measurements), else ring."""
