@@ -141,3 +141,35 @@ class TestResilientTraining:
             key=jax.random.PRNGKey(0), checkpoint_every=10)
         assert len(hist) == 3
         assert all(np.isfinite(h) for h in hist)
+
+
+class TestPrecisionUtils:
+    def test_cast_pytree_floats_only(self):
+        from gcm_tpu.utils.precision import cast_pytree
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=8)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.initial_state(2, 4)
+        bf_params = cast_pytree(params)
+        bf_state = cast_pytree(state)
+        for a in jax.tree_util.tree_leaves(bf_params):
+            assert a.dtype == jnp.bfloat16
+        assert bf_state.num_nodes.dtype == jnp.int32  # ints untouched
+        assert bf_state.nodes.dtype == jnp.bfloat16
+        # the cast model still steps
+        out, _ = model(bf_params, jnp.ones((2, 4), jnp.bfloat16), bf_state)
+        assert out.dtype == jnp.bfloat16
+
+    def test_param_count_and_summary(self):
+        from gcm_tpu.models.presets import readme_dense_gcm
+        from gcm_tpu.utils.precision import param_count, summarize
+
+        model = readme_dense_gcm(obs_size=4, hidden=8, graph_size=8)
+        params = model.init(jax.random.PRNGKey(0))
+        n = param_count(params)
+        hand = sum(int(np.prod(a.shape))
+                   for a in jax.tree_util.tree_leaves(params))
+        assert n == hand and n > 0
+        s = summarize(params)
+        assert "TOTAL" in s and f"{n:,}" in s
