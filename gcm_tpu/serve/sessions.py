@@ -33,19 +33,30 @@ from gcm_tpu.core.graph_state import reset_where
 
 class SessionServer:
     def __init__(self, model, params, capacity: int, obs_dim: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, step_fn=None, initial_state=None):
+        """model/params back the server directly; alternatively pass
+        step_fn(params, obs, state) -> (belief, state) plus an
+        `initial_state` pytree (see `from_step`) and `model` may be None —
+        the artifact-serving mode, where the step came from a deserialized
+        jax.export blob and no model-building Python exists in the
+        process."""
         self.model = model
         self.params = params
         self.capacity = capacity
         self.obs_dim = obs_dim
-        self.state = model.initial_state(capacity, obs_dim, dtype=dtype)
+        if initial_state is not None:
+            self.state = initial_state
+        else:
+            self.state = model.initial_state(capacity, obs_dim, dtype=dtype)
+        model_step = step_fn if step_fn is not None else (
+            lambda p, x, s: model(p, x, s))
         self._row_of: dict = {}          # session_id -> row
         self._free = list(range(capacity - 1, -1, -1))  # pop() -> row 0 first
         self._clock = itertools.count()
         self._last_used: dict = {}       # session_id -> clock tick
 
         def masked_step(params, obs, state, active):
-            beliefs, new_state = model(params, obs, state)
+            beliefs, new_state = model_step(params, obs, state)
 
             def merge(n, o):
                 # leaves without a per-session leading axis (e.g. the
@@ -61,6 +72,15 @@ class SessionServer:
 
         self._step = jax.jit(masked_step)
         self._reset_rows = jax.jit(reset_where)
+
+    @classmethod
+    def from_step(cls, step_fn, initial_state, params, obs_dim: int):
+        """Build a server around a bare step callable — e.g. one returned
+        by serve.export.load_step(blob) — and the matching capacity-sized
+        initial state pytree. The serving process needs no model code."""
+        capacity = initial_state[0].shape[0]
+        return cls(None, params, capacity, obs_dim,
+                   step_fn=step_fn, initial_state=initial_state)
 
     # -- row management ------------------------------------------------------
     def _allocate(self, sid):

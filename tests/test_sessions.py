@@ -104,6 +104,31 @@ class TestSessionServer:
         want = solo_beliefs(model, params, jnp.zeros((1, F)))[0]
         np.testing.assert_allclose(out["b"], want, atol=1e-5)
 
+    def test_serving_from_exported_blob(self):
+        """Artifact path: export the step, round-trip through bytes, serve
+        from the deserialized callable — beliefs match the model-backed
+        server exactly."""
+        from gcm_tpu.serve.export import export_step, load_step
+
+        F, cap = 4, 3
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        st0 = model.initial_state(cap, F)
+        blob, _ = export_step(model, params, jnp.zeros((cap, F)), st0)
+        loaded = load_step(blob)
+
+        srv_model = SessionServer(model, params, capacity=cap, obs_dim=F)
+        srv_blob = SessionServer.from_step(loaded, st0, params, obs_dim=F)
+
+        xs = jax.random.normal(jax.random.PRNGKey(5), (4, F))
+        for i in range(4):
+            reqs = {"a": xs[i]} if i % 2 == 0 else {"a": xs[i],
+                                                   "b": xs[i] * 2}
+            o1 = srv_model.step(reqs)
+            o2 = srv_blob.step(reqs)
+            for sid in o1:
+                np.testing.assert_allclose(o1[sid], o2[sid], atol=1e-6)
+
     def test_idle_sessions_untouched(self):
         """A session receiving no request must not advance: its next belief
         equals the solo run's next belief regardless of other traffic."""
