@@ -113,16 +113,16 @@ class BandedRingGCM:
     def __init__(self, gnn: DenseGNN, preprocessor=None,
                  hops: Sequence[int] = (1,), graph_size: int = 128,
                  direction: str = "forward"):
+        from gcm_tpu.nn.dense_conv import plan_conv_stack
+
         assert direction in ("forward", "backward", "both")
         self.direction = direction
         assert isinstance(gnn, DenseGNN), "BandedRingGCM needs a DenseGNN"
-        plan = gnn._plan_fusion() if gnn.fuse else None
-        if plan is None:
-            # re-derive: we need the conv/act structure regardless of fuse
-            plan = DenseGNN(gnn.layers)._plan_fusion()
+        plan = plan_conv_stack(gnn.layers, allowed_aggrs=("add", "mean"))
         assert plan is not None, (
-            "BandedRingGCM supports DenseGraphConv('add') + tanh/relu stacks")
-        self._conv_idx, self._acts = plan
+            "BandedRingGCM supports DenseGraphConv('add'|'mean') + "
+            "tanh/relu stacks")
+        self._conv_idx, self._acts, self._aggrs = plan
         self.gnn = gnn
         self.preprocessor = preprocessor
         self.hops = tuple(hops)
@@ -175,20 +175,25 @@ class BandedRingGCM:
 
         hop_masks = self._hop_masks(t)  # list of [B, N]
         gnn_params = params["gnn"]
-        for ci, act in zip(self._conv_idx, self._acts):
+        for ci, act, aggr in zip(self._conv_idx, self._acts, self._aggrs):
             conv: DenseGraphConv = self.gnn.layers[ci]
             cp = gnn_params[ci]
             agg = jnp.zeros_like(h_feats)
+            deg = jnp.zeros(h_feats.shape[:2], h_feats.dtype)
             for h, m in zip(self.hops, hop_masks):
                 if self.direction in ("forward", "both"):
                     # in-edge of slot s from slot s-h -> shift sources down
                     agg = agg + jnp.roll(h_feats, h, axis=1) * m[..., None]
+                    deg = deg + m
                 if self.direction in ("backward", "both"):
                     # the backward edge (sink s-h <- source s): slot s-h
                     # aggregates from s, i.e. shift sources up and apply the
                     # same (sink s) mask rolled to the s-h position
                     m_b = jnp.roll(m, -h, axis=1)
                     agg = agg + jnp.roll(h_feats, -h, axis=1) * m_b[..., None]
+                    deg = deg + m_b
+            if aggr == "mean":
+                agg = agg / jnp.maximum(deg, 1.0)[..., None]
             out = (jnp.einsum("bnf,fo->bno", agg, cp["lin_rel"]["kernel"])
                    + jnp.einsum("bnf,fo->bno", h_feats,
                                 cp["lin_root"]["kernel"]))
@@ -265,8 +270,13 @@ class BandedRingGCM:
             new_feats = {}
             for a in need[li + 1]:
                 agg = jnp.zeros_like(feats[a])
+                deg = jnp.zeros(agg.shape[:2], agg.dtype)
                 for h in self.hops:
-                    agg = agg + feats[a + h] * edge_mask(a, h)[..., None]
+                    m = edge_mask(a, h)
+                    agg = agg + feats[a + h] * m[..., None]
+                    deg = deg + m
+                if self._aggrs[li] == "mean":
+                    agg = agg / jnp.maximum(deg, 1.0)[..., None]
                 out = (jnp.einsum("btf,fo->bto", agg,
                                   cp["lin_rel"]["kernel"])
                        + jnp.einsum("btf,fo->bto", feats[a],
@@ -353,13 +363,14 @@ class BandedScoredGCM:
     def __init__(self, gnn: DenseGNN, distance=None, preprocessor=None,
                  hops: Sequence[int] = (), window: int | None = None,
                  graph_size: int = 128):
+        from gcm_tpu.nn.dense_conv import plan_conv_stack
+
         assert isinstance(gnn, DenseGNN), "BandedScoredGCM needs a DenseGNN"
-        plan = (gnn._plan_fusion() if gnn.fuse
-                else DenseGNN(gnn.layers)._plan_fusion())
+        plan = plan_conv_stack(gnn.layers, allowed_aggrs=("add", "mean"))
         assert plan is not None, (
-            "BandedScoredGCM supports DenseGraphConv('add') + tanh/relu "
-            "stacks")
-        self._conv_idx, self._acts = plan
+            "BandedScoredGCM supports DenseGraphConv('add'|'mean') + "
+            "tanh/relu stacks")
+        self._conv_idx, self._acts, self._aggrs = plan
         self.gnn = gnn
         self.preprocessor = preprocessor
         self.distance = distance
@@ -451,14 +462,18 @@ class BandedScoredGCM:
         sink_alive = age <= horizon  # [B, N]
 
         gnn_params = params["gnn"]
-        for ci, act in zip(self._conv_idx, self._acts):
+        for ci, act, aggr in zip(self._conv_idx, self._acts, self._aggrs):
             cp = gnn_params[ci]
             agg = jnp.zeros_like(h_feats)
+            deg = jnp.zeros(h_feats.shape[:2], h_feats.dtype)
             for k in range(1, w + 1):
                 src_alive = age + k <= horizon
                 m = (band[:, :, k - 1]
                      * (sink_alive & src_alive).astype(h_feats.dtype))
                 agg = agg + jnp.roll(h_feats, k, axis=1) * m[..., None]
+                deg = deg + m
+            if aggr == "mean":
+                agg = agg / jnp.maximum(deg, 1.0)[..., None]
             out = (jnp.einsum("bnf,fo->bno", agg, cp["lin_rel"]["kernel"])
                    + jnp.einsum("bnf,fo->bno", h_feats,
                                 cp["lin_root"]["kernel"]))
@@ -578,10 +593,14 @@ class BandedScoredGCM:
                 band_a = band_at_age(a)  # [B, T, w]
                 sink_alive = (a <= horizon).astype(xs.dtype)
                 agg = jnp.zeros_like(feats[a])
+                deg = jnp.zeros(agg.shape[:2], agg.dtype)
                 for k in range(1, w + 1):
                     src_alive = (a + k <= horizon).astype(xs.dtype)
                     m = band_a[:, :, k - 1] * sink_alive * src_alive
                     agg = agg + feats[a + k] * m[..., None]
+                    deg = deg + m
+                if self._aggrs[li] == "mean":
+                    agg = agg / jnp.maximum(deg, 1.0)[..., None]
                 out = (jnp.einsum("btf,fo->bto", agg,
                                   cp["lin_rel"]["kernel"])
                        + jnp.einsum("btf,fo->bto", feats[a],

@@ -46,12 +46,14 @@ class CliqueGCM:
 
     def __init__(self, gnn: DenseGNN, preprocessor=None,
                  graph_size: int = 128):
+        from gcm_tpu.nn.dense_conv import plan_conv_stack
+
         assert isinstance(gnn, DenseGNN), "CliqueGCM needs a DenseGNN"
-        plan = (gnn._plan_fusion() if gnn.fuse
-                else DenseGNN(gnn.layers)._plan_fusion())
+        plan = plan_conv_stack(gnn.layers, allowed_aggrs=("add", "mean"))
         assert plan is not None, (
-            "CliqueGCM supports DenseGraphConv('add') + tanh/relu stacks")
-        self._conv_idx, self._acts = plan
+            "CliqueGCM supports DenseGraphConv('add'|'mean') + tanh/relu "
+            "stacks")
+        self._conv_idx, self._acts, self._aggrs = plan
         self.gnn = gnn
         self.preprocessor = preprocessor
         self.graph_size = graph_size
@@ -100,11 +102,16 @@ class CliqueGCM:
         age = jnp.mod(p[:, None] - slots, N)  # age AFTER this insert
         alive = (age <= jnp.minimum(t, N - 1)[:, None]).astype(h.dtype)
 
+        # alive count = every alive sink's in-degree (complete graph with
+        # self-loops; DenseGraphConv mean divides by max(deg, 1))
+        cnt = (jnp.minimum(t, N - 1) + 1).astype(h.dtype)[:, None]  # [B, 1]
         gnn_params = params["gnn"]
-        for ci, act in zip(self._conv_idx, self._acts):
+        for ci, act, aggr in zip(self._conv_idx, self._acts, self._aggrs):
             cp = gnn_params[ci]
             # every alive sink aggregates from ALL alive nodes (incl. self)
             agg = jnp.sum(h * alive[..., None], axis=1)  # [B, F]
+            if aggr == "mean":
+                agg = agg / cnt
             root = jnp.einsum("bnf,fo->bno", h, cp["lin_root"]["kernel"])
             rel = jnp.einsum("bf,fo->bo", agg,
                              cp["lin_rel"]["kernel"])[:, None, :]
@@ -202,7 +209,10 @@ class CliqueGCM:
         cp0 = gnn_params[self._conv_idx[0]]
         act0 = self._acts[0]
 
+        cnt = (horizon + 1).astype(xs.dtype)[..., None]  # [B, T, 1]
         A0 = self._prefix_agg(feats_seq, feats_old, t0, t_eff, horizon, N)
+        if self._aggrs[0] == "mean":
+            A0 = A0 / cnt
         rel0 = jnp.einsum("btf,fo->bto", A0, cp0["lin_rel"]["kernel"])
         R_seq = jnp.einsum("btf,fo->bto", feats_seq,
                            cp0["lin_root"]["kernel"])
@@ -228,12 +238,15 @@ class CliqueGCM:
             feats = feats.reshape(B * T, N, -1)
             aliveF = alive.astype(xs.dtype).reshape(B * T, N)
             p_flat = p.reshape(B * T)
+            cnt_flat = cnt.reshape(B * T, 1)
             diag_prev = diag0.reshape(B * T, -1)
             for li in range(1, L):
                 ci, act = self._conv_idx[li], self._acts[li]
                 cp = gnn_params[ci]
                 last = li == L - 1
                 agg = jnp.sum(feats * aliveF[..., None], axis=1)
+                if self._aggrs[li] == "mean":
+                    agg = agg / cnt_flat
                 rel = jnp.einsum("bf,fo->bo", agg, cp["lin_rel"]["kernel"])
                 if last:
                     root = jnp.einsum("bf,fo->bo", diag_prev,
@@ -317,6 +330,7 @@ class CliqueGCM:
         # the per-step GEMMs fuse into a few large ones.
         aliveF = alive.astype(xs.dtype).reshape(B * T, N)
         p_flat = p.reshape(B * T)
+        cnt_flat = (horizon + 1).astype(xs.dtype).reshape(B * T, 1)
         gnn_params = params["gnn"]
         L = len(self._conv_idx)
 
@@ -328,6 +342,8 @@ class CliqueGCM:
                 feats = content(feats_seq, feats_old)
                 feats = feats.reshape(B * T, N, feats.shape[-1])
             agg = jnp.sum(feats * aliveF[..., None], axis=1)  # [B·T, F]
+            if self._aggrs[li] == "mean":
+                agg = agg / cnt_flat
             rel = jnp.einsum("bf,fo->bo", agg, cp["lin_rel"]["kernel"])
             if last:
                 diag = feats[jnp.arange(B * T), p_flat]  # [B·T, F]

@@ -116,6 +116,40 @@ class DenseGCNConv:
         return out
 
 
+def plan_conv_stack(layers, allowed_aggrs=("add",)):
+    """Detect a DenseGraphConv(+optional tanh/relu) stack. Returns
+    (conv_idx, acts, aggrs) tuples — one entry per conv — or None if any
+    layer falls outside the pattern or uses a disallowed aggregation.
+    Shared by the Pallas fusion planner ('add' only) and the fast cores
+    (which also implement 'mean' analytically)."""
+    acts = []
+    conv_idx = []
+    aggrs = []
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
+        if not (isinstance(layer, DenseGraphConv)
+                and layer.aggr in allowed_aggrs):
+            return None
+        conv_idx.append(i)
+        aggrs.append(layer.aggr)
+        act = None
+        if i + 1 < len(layers) and not hasattr(layers[i + 1], "init"):
+            fn = layers[i + 1]
+            if fn is jnp.tanh:
+                act = "tanh"
+            elif fn is jax.nn.relu:
+                act = "relu"
+            else:
+                return None
+            i += 1
+        acts.append(act)
+        i += 1
+    if not conv_idx:
+        return None
+    return tuple(conv_idx), tuple(acts), tuple(aggrs)
+
+
 class DenseGNN:
     """A stack of dense conv layers and activation callables, composing a GNN
     with the DenseGCM signature gnn(params, x, adj, weights) -> x.
@@ -135,28 +169,8 @@ class DenseGNN:
     def _plan_fusion(self):
         """Detect the fusable pattern (DenseGraphConv('add') each optionally
         followed by one tanh/relu) for the whole-GNN Pallas kernel."""
-        acts = []
-        conv_idx = []
-        i = 0
-        while i < len(self.layers):
-            layer = self.layers[i]
-            if not (isinstance(layer, DenseGraphConv) and layer.aggr == "add"):
-                return None
-            conv_idx.append(i)
-            act = None
-            if i + 1 < len(self.layers) and not hasattr(self.layers[i + 1],
-                                                        "init"):
-                fn = self.layers[i + 1]
-                if fn is jnp.tanh:
-                    act = "tanh"
-                elif fn is jax.nn.relu:
-                    act = "relu"
-                else:
-                    return None
-                i += 1
-            acts.append(act)
-            i += 1
-        return (tuple(conv_idx), tuple(acts)) if conv_idx else None
+        plan = plan_conv_stack(self.layers, allowed_aggrs=("add",))
+        return plan[:2] if plan is not None else None
 
     def init(self, key):
         params = []

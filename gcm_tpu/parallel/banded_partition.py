@@ -56,6 +56,8 @@ def banded_scan_sharded(model: BandedRingGCM, mesh: Mesh, axis: str = "sp"):
     state.nodes sharded over `axis`. Forward direction only (the backward
     band would need a right-neighbor halo; add when a workload wants it)."""
     assert model.direction == "forward", "sharded path is forward-only"
+    assert all(a == "add" for a in getattr(model, "_aggrs", ("add",))), (
+        "sharded scans implement aggr='add' only")
     d = mesh.shape[axis]
     N = model.graph_size
     assert N % d == 0, f"graph_size={N} must divide over {d} shards"
@@ -160,6 +162,8 @@ def banded_scored_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
 
     assert isinstance(model, BandedScoredGCM), (
         "banded_scored_scan_sharded needs BandedScoredGCM")
+    assert all(a == "add" for a in getattr(model, "_aggrs", ("add",))), (
+        "sharded scans implement aggr='add' only")
     d = mesh.shape[axis]
     N = model.graph_size
     w = model.window_size
@@ -284,6 +288,8 @@ def clique_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
     from gcm_tpu.models.clique_gcm import CliqueGCM
 
     assert isinstance(model, CliqueGCM), "clique_scan_sharded needs CliqueGCM"
+    assert all(a == "add" for a in getattr(model, "_aggrs", ("add",))), (
+        "sharded scans implement aggr='add' only")
     d = mesh.shape[axis]
     N = model.graph_size
     assert N % d == 0, f"graph_size={N} must divide over {d} shards"

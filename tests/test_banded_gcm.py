@@ -376,3 +376,46 @@ class TestScoredWindowProperty:
                            rtol=1e-4, atol=1e-4)
         for a, b in zip(s1, s2):
             assert np.array_equal(np.array(a), np.array(b))
+
+
+class TestMeanAggregationParity:
+    """Fast cores with DenseGraphConv('mean') stacks — exact DenseGCM
+    parity (the analytic deg division must match adj.sum(-1) clamped >= 1,
+    dense_conv.py mean semantics) across scan and window paths."""
+
+    def _gnn(self, F=4):
+        return DenseGNN([DenseGraphConv(F, F, aggr="mean"), jnp.tanh,
+                         DenseGraphConv(F, F, aggr="mean"), jnp.tanh])
+
+    def test_banded_mean_matches_dense(self):
+        from gcm_tpu.models.banded_gcm import BandedRingGCM
+
+        F, B, N, T = 4, 3, 6, 17
+        gnn = self._gnn(F)
+        dense = DenseGCM(gnn, graph_size=N,
+                         edge_selectors=TemporalBackedge([1, 2]))
+        banded = BandedRingGCM(gnn, hops=(1, 2), graph_size=N)
+        params = dense.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+        b, _ = banded.scan(params, xs, banded.initial_state(B, F))
+        assert np.allclose(np.array(d), np.array(b), atol=1e-5)
+        w, _ = banded.window(params, xs, banded.initial_state(B, F))
+        assert np.allclose(np.array(d), np.array(w), atol=1e-5)
+
+    def test_scored_mean_matches_dense(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.banded_gcm import BandedScoredGCM
+
+        F, B, N, T = 4, 3, 6, 15
+        gnn = self._gnn(F)
+        dist = EuclideanEdge(1.2, window=3)
+        dense = DenseGCM(gnn, graph_size=N, edge_selectors=dist)
+        scored = BandedScoredGCM(gnn, distance=dist, graph_size=N)
+        params = dense.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+        s, _ = scored.scan(params, xs, scored.initial_state(B, F))
+        assert np.allclose(np.array(d), np.array(s), atol=1e-5)
+        w, _ = scored.window(params, xs, scored.initial_state(B, F))
+        assert np.allclose(np.array(d), np.array(w), atol=1e-5)

@@ -203,3 +203,26 @@ class TestCliqueWindowParity:
                            np.concatenate([o1, o2], axis=1),
                            rtol=1e-5, atol=1e-5)
         assert np.array_equal(np.array(s_ref.nodes), np.array(s2.nodes))
+
+
+class TestCliqueMeanAggregation:
+    def test_clique_mean_matches_dense_edge(self):
+        """aggr='mean' stacks: the shared aggregate divides by the alive
+        count (== every alive sink's degree in the complete graph) —
+        exact DenseGCM+DenseEdge parity on scan and both window impls."""
+        from gcm_tpu.edges.dense import DenseEdge
+
+        F, B, N, T = 4, 3, 6, 17
+        gnn = DenseGNN([DenseGraphConv(F, F, aggr="mean"), jnp.tanh,
+                        DenseGraphConv(F, F, aggr="mean"), jnp.tanh])
+        dense = DenseGCM(gnn, graph_size=N, edge_selectors=DenseEdge())
+        clique = CliqueGCM(gnn, graph_size=N)
+        params = dense.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        d, _ = dense.scan(params, xs, dense.initial_state(B, F))
+        c, _ = clique.scan(params, xs, clique.initial_state(B, F))
+        assert np.allclose(np.array(d), np.array(c), atol=1e-5)
+        for impl in ("gather", "proj"):
+            w, _ = clique.window(params, xs, clique.initial_state(B, F),
+                                 impl=impl)
+            assert np.allclose(np.array(d), np.array(w), atol=1e-5), impl
