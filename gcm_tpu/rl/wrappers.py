@@ -146,9 +146,16 @@ class GCMActorCritic:
         any aux machinery or custom GNN falls back to the general core."""
         cfg = self.cfg
         if (cfg["aux_edge_selectors"] or cfg["positional_encoding"]
-                or cfg["pooled"] or cfg["edge_weights"]
-                or cfg["gnn"] is not None):
+                or cfg["pooled"] or cfg["edge_weights"]):
             return "ring"
+        if cfg["gnn"] is not None:
+            # custom GNNs qualify when they fit the fast cores' analytic
+            # pattern (DenseGraphConv add/mean + tanh/relu)
+            from gcm_tpu.nn.dense_conv import plan_conv_stack
+
+            if not (isinstance(cfg["gnn"], DenseGNN) and plan_conv_stack(
+                    cfg["gnn"].layers, allowed_aggrs=("add", "mean"))):
+                return "ring"
         sel = cfg["edge_selectors"]
         from gcm_tpu.edges.chain import EdgeChain
         from gcm_tpu.edges.dense import DenseEdge as DenseEdgeSel

@@ -327,6 +327,22 @@ class TestAutoCore:
             # aux machinery falls back to the general core
             (dict(edge_selectors=TemporalBackedge([1]), pooled=True),
              "ring"),
+            # custom GNN fitting the fast-core pattern stays eligible
+            (dict(edge_selectors=TemporalBackedge([1]),
+                  gnn=__import__("gcm_tpu.nn.dense_conv",
+                                 fromlist=["DenseGNN"]).DenseGNN(
+                      [__import__("gcm_tpu.nn.dense_conv",
+                                  fromlist=["DenseGraphConv"]
+                                  ).DenseGraphConv(16, 16, aggr="mean"),
+                       jnp.tanh])), "banded"),
+            # custom GNN outside the pattern -> ring
+            (dict(edge_selectors=TemporalBackedge([1]),
+                  gnn=__import__("gcm_tpu.nn.dense_conv",
+                                 fromlist=["DenseGNN"]).DenseGNN(
+                      [__import__("gcm_tpu.nn.dense_conv",
+                                  fromlist=["DenseGraphConv"]
+                                  ).DenseGraphConv(16, 16, aggr="max"),
+                       jnp.tanh])), "ring"),
         ]
         for over, want in cases:
             pol = make_policy(env, core="auto", **over)
