@@ -20,5 +20,5 @@ run spmm_variants 1800 python benchmarks/spmm_variants.py
 run nav_variants 1800 python benchmarks/nav_variants.py
 run scan_breakdown 2400 python benchmarks/scan_breakdown.py --trace /tmp/scan_trace
 run gate_hygiene 1800 python benchmarks/gate_hygiene.py
-run bench 2400 python bench.py
+run bench 3600 python bench.py
 echo "ALL DONE"

@@ -74,6 +74,26 @@ class SessionServer:
         self._reset_rows = jax.jit(reset_where)
 
     @classmethod
+    def from_policy(cls, policy, params, capacity: int):
+        """Serve a full actor-critic policy (rl.wrappers.GCMActorCritic):
+        each step returns {"logits": [A], "value": scalar} per session —
+        the online-inference role of the reference's rllib policy server
+        (ray_gcm.py:173-212)."""
+
+        assert not policy.cfg.get("use_prev_action", False), (
+            "serving tracks no per-session action history; build the "
+            "policy with use_prev_action=False (or extend requests to "
+            "carry the previous action)")
+
+        def step_fn(p, obs, state):
+            logits, value, state = policy.step(p, obs, state)
+            return {"logits": logits, "value": value}, state
+
+        return cls(None, params, capacity, policy.obs_dim,
+                   step_fn=step_fn,
+                   initial_state=policy.initial_state(capacity))
+
+    @classmethod
     def from_step(cls, step_fn, initial_state, params, obs_dim: int):
         """Build a server around a bare step callable — e.g. one returned
         by serve.export.load_step(blob) — and the matching capacity-sized
@@ -137,7 +157,10 @@ class SessionServer:
             obs[row] = np.asarray(requests[sid], np.float32)
             active[row] = True
 
-        beliefs, self.state = self._step(self.params, jnp.asarray(obs),
-                                         self.state, jnp.asarray(active))
-        beliefs = np.asarray(beliefs)
-        return {sid: beliefs[row] for sid, row in zip(sids, rows)}
+        out, self.state = self._step(self.params, jnp.asarray(obs),
+                                     self.state, jnp.asarray(active))
+        # out may be any pytree with a leading capacity axis (a belief
+        # array, or e.g. {"logits": ..., "value": ...} from a policy step)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return {sid: jax.tree_util.tree_map(lambda a: a[row], out)
+                for sid, row in zip(sids, rows)}

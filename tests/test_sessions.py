@@ -129,6 +129,35 @@ class TestSessionServer:
             for sid in o1:
                 np.testing.assert_allclose(o1[sid], o2[sid], atol=1e-6)
 
+    def test_policy_serving(self):
+        """from_policy serves {"logits","value"} per session, matching the
+        policy's own sequential step on the same stream."""
+        from gcm_tpu.rl.wrappers import GCMActorCritic
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        pol = GCMActorCritic(obs_dim=4, num_actions=3, num_outputs=3,
+                             graph_size=8, gnn_input_size=8,
+                             gnn_output_size=8, use_prev_action=False,
+                             edge_selectors=TemporalBackedge([1]))
+        params = pol.init(jax.random.PRNGKey(0))
+        srv = SessionServer.from_policy(pol, params, capacity=3)
+
+        xs = jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+        # reference: sequential single-session stepping
+        state = pol.initial_state(1)
+        want = []
+        for i in range(4):
+            lo, va, state = pol.step(params, xs[i][None], state)
+            want.append((np.asarray(lo[0]), float(va[0])))
+        # served interleaved with another session's traffic
+        got = []
+        for i in range(4):
+            out = srv.step({"main": xs[i], "noise": np.zeros(4)})
+            got.append(out["main"])
+        for (wl, wv), g in zip(want, got):
+            np.testing.assert_allclose(g["logits"], wl, atol=1e-5)
+            np.testing.assert_allclose(float(g["value"]), wv, atol=1e-5)
+
     def test_idle_sessions_untouched(self):
         """A session receiving no request must not advance: its next belief
         equals the solo run's next belief regardless of other traffic."""
