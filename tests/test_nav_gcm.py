@@ -376,3 +376,62 @@ class TestIncrementalParity:
         tot = sum(float(jnp.abs(l).sum())
                   for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(tot) and tot > 0
+
+
+class TestIncrementalProperty:
+    """Randomized NavGCMIncremental ≡ NavGCM(causal) parity: random ragged
+    tau sequences (including zero-step windows), edge methods, k caps, and
+    vertex budgets — the cached-feature algebra must hold for any chaining."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def test_chained_ragged_windows_random(self, data):
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+
+        st_ = self.st
+        V = data.draw(st_.integers(6, 20), label="V")
+        B = data.draw(st_.integers(1, 3), label="B")
+        k = data.draw(st_.integers(1, 4), label="k")
+        edge_method = data.draw(st_.sampled_from(["radius", "knn"]),
+                                label="edge_method")
+        n_windows = data.draw(st_.integers(1, 4), label="n_windows")
+        seed = data.draw(st_.integers(0, 2**16), label="seed")
+
+        in_dim = 2 + 2 + 1
+        gnn = NavDenseGNN([DenseGraphConv(in_dim, 4), jnp.tanh,
+                           DenseGraphConv(4, 4), jnp.tanh])
+        ref = NavGCM(gnn, max_verts=V, r=2.0, k=k, causal=True,
+                     edge_method=edge_method)
+        fast = NavGCMIncremental(gnn, max_verts=V, r=2.0, k=k,
+                                 edge_method=edge_method)
+        params = ref.init(jax.random.PRNGKey(seed))
+
+        rng = np.random.default_rng(seed)
+        s_ref = ref.initial_state(B, 2)
+        s_fast = fast.initial_state(B, 2)
+        key = jax.random.PRNGKey(seed + 1)
+        total = np.zeros(B, np.int64)
+        for _ in range(n_windows):
+            # ragged taus, capped so the vertex budget is never exceeded
+            room = V - total
+            taus = np.minimum(rng.integers(0, 4, size=B), room)
+            if taus.max() == 0:
+                taus[int(np.argmax(room))] = min(1, int(room.max()))
+            if taus.max() == 0:
+                break
+            total += taus
+            t = int(taus.max())
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            obs = jax.random.normal(k1, (B, t, 2))
+            pos = jax.random.normal(k2, (B, t, 2)) * 2.0
+            rot = jax.random.normal(k3, (B, t, 1))
+            taus_j = jnp.asarray(taus, jnp.int32)
+            o_ref, s_ref = ref(params, obs, pos, rot, taus_j, s_ref)
+            o_fast, s_fast = fast(params, obs, pos, rot, taus_j, s_fast)
+            assert np.allclose(np.array(o_fast), np.array(o_ref),
+                               atol=1e-4)
+        for a, b in zip((s_ref.x, s_ref.pos, s_ref.rot, s_ref.t),
+                        (s_fast.x, s_fast.pos, s_fast.rot, s_fast.t)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
