@@ -1,0 +1,111 @@
+"""Scan-optimization candidates on the real TPU: lax.scan unroll= and the
+merged conv projection (config.MERGED_CONV_PROJ).
+
+scan_breakdown.py names WHERE the per-step time goes; this measures the two
+cheapest fixes for the overhead-dominated regime (BASELINE.md: dense scan at
+~12% of its HBM floor):
+
+- unroll=K: K loop iterations per XLA while-loop step — same recurrence,
+  fewer loop-carried boundary crossings, cross-step fusion opportunities.
+- MERGED_CONV_PROJ: one matmul per conv layer instead of two.
+
+Slope-timed like bench.py (distinct inputs, scalar sync, T_hi−T_lo slope).
+Prints one JSON line per variant; the winner (if any) flips the default in
+rl/wrappers + BASELINE.md gets the numbers either way.
+
+Run: python benchmarks/scan_opt.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from scan_breakdown import B, HID, N, OBS, slope_rate  # noqa: E402
+
+
+def dense_scan_fn(unroll):
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
+def banded_scan_fn(unroll):
+    from gcm_tpu.models.banded_gcm import BandedRingGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    model = BandedRingGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                          hops=(1,), graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
+    ap.add_argument("--t-banded", type=int, nargs=2, default=(128, 2176))
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gcm_tpu import config
+
+    results = {}
+
+    def record(name, rate, slope):
+        results[name] = {"timesteps_per_s": round(rate),
+                         "us_per_step": round(slope * 1e6, 3)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    for unroll in (1, 2, 4, 8):
+        rate, slope = slope_rate(dense_scan_fn(unroll), *args.t_dense,
+                                 seed=21 + unroll)
+        record(f"dense_unroll{unroll}", rate, slope)
+    for unroll in (1, 2, 4, 8):
+        rate, slope = slope_rate(banded_scan_fn(unroll), *args.t_banded,
+                                 seed=31 + unroll)
+        record(f"banded_unroll{unroll}", rate, slope)
+
+    for merged in (False, True):
+        config.MERGED_CONV_PROJ = merged
+        rate, slope = slope_rate(banded_scan_fn(1), *args.t_banded,
+                                 seed=41 + int(merged))
+        record(f"banded_merged{int(merged)}", rate, slope)
+        # merged projection under the best unroll (interaction term)
+        rate, slope = slope_rate(banded_scan_fn(8), *args.t_banded,
+                                 seed=43 + int(merged))
+        record(f"banded_unroll8_merged{int(merged)}", rate, slope)
+    config.MERGED_CONV_PROJ = False
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                      "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,13 @@ USE_PALLAS: bool | str = "auto"
 # once. The Pallas path is kept for experimentation but defaults off.
 PALLAS_DENSE_GCONV = False
 
+# Fast cores (banded/scored/clique) compute each conv layer's tail as
+# lin_rel(agg) + lin_root(h). True merges the two matmuls into one over the
+# concatenated input (nn/dense_conv.py::conv_project) — a candidate for the
+# overhead-dominated scan regime, pending TPU measurement
+# (benchmarks/scan_opt.py). Default off until measured.
+MERGED_CONV_PROJ: bool = False
+
 # Heuristic bounds: the one-hot-matmul SpMM trades FLOPs for MXU residency.
 # Measured crossover (TPU v5e, slope-timed): XLA's sort-based scatter wins
 # below ~1e6 E·N work (e.g. N=128, E=512: 191us vs 438us); the Pallas kernel

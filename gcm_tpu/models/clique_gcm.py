@@ -121,8 +121,9 @@ class CliqueGCM:
         return mx, BandedState(nodes, t + 1)
 
     def scan(self, params, xs, state: BandedState, key=None,
-             remat: bool = False, dones=None):
-        """Stepwise recurrence (see DenseGCM.scan for dones semantics)."""
+             remat: bool = False, dones=None, unroll: int = 1):
+        """Stepwise recurrence (see DenseGCM.scan for dones/unroll
+        semantics)."""
         del key
         from gcm_tpu.core.graph_state import reset_where
 
@@ -138,10 +139,11 @@ class CliqueGCM:
         xs_t = jnp.swapaxes(xs, 0, 1)
         if dones is None:
             final_state, outs = jax.lax.scan(
-                lambda c, x: step(c, (x, None)), state, xs_t)
+                lambda c, x: step(c, (x, None)), state, xs_t, unroll=unroll)
         else:
             final_state, outs = jax.lax.scan(
-                step, state, (xs_t, jnp.swapaxes(dones, 0, 1)))
+                step, state, (xs_t, jnp.swapaxes(dones, 0, 1)),
+                unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state
 
     # -- whole-trajectory parallel forward -----------------------------------

@@ -35,7 +35,7 @@ from gcm_tpu.core.graph_state import (
 
 
 def _scan_with_resets(core, params, xs, state, key=None, dones=None,
-                      remat=False):
+                      remat=False, unroll=1):
     """Shared lax.scan recurrence over [B, T, F] with optional per-step
     episode-boundary resets (dones [B, T]); used by every stepwise core.
     remat=True rematerializes each step in the backward pass
@@ -43,7 +43,11 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     TPU v5e (flagship config): +13% training throughput on the banded core
     (cheap recompute, no adjacency), but −32% on the ring core (recompute
     rebuilds the [B,N,N] adjacency) — use it for memory headroom, not
-    speed, on the dense/ring cores."""
+    speed, on the dense/ring cores.
+    unroll=K unrolls K loop iterations per XLA while-loop step (lax.scan
+    unroll=) — bit-identical recurrence, lets XLA fuse across steps and
+    amortize per-op overhead in the loop body (the scan_breakdown.py
+    overhead-dominated regime)."""
     T = xs.shape[1]
     keys = None if key is None else jax.random.split(key, T)
     xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
@@ -62,18 +66,20 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     # lax.scan can't carry None leaves in xs; build the per-case tuple
     if keys is None and dones_t is None:
         final_state, outs = jax.lax.scan(
-            lambda c, x: step(c, (x, None, None)), state, xs_t)
+            lambda c, x: step(c, (x, None, None)), state, xs_t,
+            unroll=unroll)
     elif keys is None:
         final_state, outs = jax.lax.scan(
             lambda c, inp: step(c, (inp[0], None, inp[1])), state,
-            (xs_t, dones_t))
+            (xs_t, dones_t), unroll=unroll)
     elif dones_t is None:
         final_state, outs = jax.lax.scan(
             lambda c, inp: step(c, (inp[0], inp[1], None)), state,
-            (xs_t, keys))
+            (xs_t, keys), unroll=unroll)
     else:
         final_state, outs = jax.lax.scan(
-            lambda c, inp: step(c, inp), state, (xs_t, keys, dones_t))
+            lambda c, inp: step(c, inp), state, (xs_t, keys, dones_t),
+            unroll=unroll)
     return jnp.swapaxes(outs, 0, 1), final_state
 
 
@@ -175,7 +181,8 @@ class DenseGCM:
     @checked
     def scan(self, params, xs: Float[Array, "B T F"],
              state: DenseGraphState, key=None,
-             dones: Bool[Array, "B T"] | None = None, remat: bool = False):
+             dones: Bool[Array, "B T"] | None = None, remat: bool = False,
+             unroll: int = 1):
         """Run the recurrence over a whole trajectory with lax.scan.
 
         xs: [B, T, F] (time axis scanned). Returns (beliefs [B, T, F_out],
@@ -189,7 +196,8 @@ class DenseGCM:
         rllib seq_lens semantics of the reference adapter, ray_gcm.py:188-202
         / ray_sparse_gcm.py:195-200).
 
-        remat: rematerialize steps in the backward pass (see
-        _scan_with_resets).
+        remat: rematerialize steps in the backward pass; unroll: XLA loop
+        unrolling factor (bit-identical, see _scan_with_resets).
         """
-        return _scan_with_resets(self, params, xs, state, key, dones, remat)
+        return _scan_with_resets(self, params, xs, state, key, dones, remat,
+                                 unroll)

@@ -281,10 +281,11 @@ class RingDenseGCM:
         return mx, RingGraphState(nodes, adj, weights, t + 1)
 
     def scan(self, params, xs, state: RingGraphState, key=None, dones=None,
-             remat=False):
+             remat=False, unroll=1):
         """dones: optional [B, T] episode terminations — wipes the memory of
-        finished episodes after each step (see DenseGCM.scan). remat: see
-        DenseGCM.scan."""
+        finished episodes after each step (see DenseGCM.scan). remat/unroll:
+        see DenseGCM.scan."""
         from gcm_tpu.models.dense_gcm import _scan_with_resets
 
-        return _scan_with_resets(self, params, xs, state, key, dones, remat)
+        return _scan_with_resets(self, params, xs, state, key, dones, remat,
+                                 unroll)

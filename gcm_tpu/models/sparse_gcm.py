@@ -341,12 +341,13 @@ class SparseGCM:
         if np.any(np.asarray(state.t + taus) > self.graph_size):
             raise Exception("Overflow")
 
-    def scan(self, params, xs, state: SparseGraphState, key=None, dones=None):
+    def scan(self, params, xs, state: SparseGraphState, key=None, dones=None,
+             unroll: int = 1):
         """Step the sparse core one timestep at a time over xs [B, T, F]
         (t=1 windows) under lax.scan — the step-by-step execution mode of the
         reference parity suite (tests/test_sparse_gcm.py:349-540).
         dones: optional [B, T] — resets finished episodes' memory after each
-        step (see DenseGCM.scan)."""
+        step (see DenseGCM.scan). unroll: see DenseGCM.scan."""
         from gcm_tpu.core.graph_state import reset_where
 
         B, T_len, F = xs.shape
@@ -364,16 +365,18 @@ class SparseGCM:
         dones_t = None if dones is None else jnp.swapaxes(dones, 0, 1)
         if keys is None and dones_t is None:
             final_state, outs = jax.lax.scan(
-                lambda c, x: step(c, (x, None, None)), state, xs_t)
+                lambda c, x: step(c, (x, None, None)), state, xs_t,
+                unroll=unroll)
         elif keys is None:
             final_state, outs = jax.lax.scan(
                 lambda c, inp: step(c, (inp[0], None, inp[1])), state,
-                (xs_t, dones_t))
+                (xs_t, dones_t), unroll=unroll)
         elif dones_t is None:
             final_state, outs = jax.lax.scan(
                 lambda c, inp: step(c, (inp[0], inp[1], None)), state,
-                (xs_t, keys))
+                (xs_t, keys), unroll=unroll)
         else:
             final_state, outs = jax.lax.scan(step, state,
-                                             (xs_t, keys, dones_t))
+                                             (xs_t, keys, dones_t),
+                                             unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state

@@ -116,6 +116,33 @@ class DenseGCNConv:
         return out
 
 
+def conv_project(cp, agg, h, act):
+    """The tail of every DenseGraphConv: lin_rel(agg) + lin_root(h)
+    [+ bias] [+ activation], for inputs of shape [..., F].
+
+    With config.MERGED_CONV_PROJ the two matmuls are computed as ONE:
+    concat([agg, h], -1) @ [W_rel; W_root] — same contraction, half the
+    matmul dispatches in a scan body (candidate for the overhead-dominated
+    scan regime, benchmarks/scan_opt.py; bit-identical only up to matmul
+    accumulation order, so parity tests compare against a tolerance)."""
+    from gcm_tpu import config
+
+    if config.MERGED_CONV_PROJ:
+        w = jnp.concatenate(
+            [cp["lin_rel"]["kernel"], cp["lin_root"]["kernel"]], axis=0)
+        out = jnp.einsum("...f,fo->...o", jnp.concatenate([agg, h], -1), w)
+    else:
+        out = (jnp.einsum("...f,fo->...o", agg, cp["lin_rel"]["kernel"])
+               + jnp.einsum("...f,fo->...o", h, cp["lin_root"]["kernel"]))
+    if "bias" in cp["lin_rel"]:
+        out = out + cp["lin_rel"]["bias"]
+    if act == "tanh":
+        out = jnp.tanh(out)
+    elif act == "relu":
+        out = jnp.maximum(out, 0.0)
+    return out
+
+
 def plan_conv_stack(layers, allowed_aggrs=("add",)):
     """Detect a DenseGraphConv(+optional tanh/relu) stack. Returns
     (conv_idx, acts, aggrs) tuples — one entry per conv — or None if any

@@ -1,0 +1,143 @@
+"""Scan-optimization knobs: unroll= (bit-identical recurrence) and the
+merged conv projection (config.MERGED_CONV_PROJ, nn/dense_conv.py::
+conv_project). Both are TPU-overhead candidates from the scan_breakdown
+ablation (BASELINE.md roofline section); these tests pin that neither
+changes results, so flipping either after measurement is safe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcm_tpu import config
+from gcm_tpu.models.banded_gcm import BandedRingGCM, BandedScoredGCM
+from gcm_tpu.models.clique_gcm import CliqueGCM
+from gcm_tpu.models.presets import readme_dense_gcm
+from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+from gcm_tpu.nn.module import MLP, Linear
+
+B, T, OBS, HID, N = 3, 13, 5, 7, 6
+
+
+def _banded():
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    return BandedRingGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                         hops=(1, 2), graph_size=N)
+
+
+def _traj(seed=0):
+    k = jax.random.PRNGKey(seed)
+    xs = jax.random.normal(k, (B, T, OBS))
+    dones = jax.random.bernoulli(jax.random.PRNGKey(seed + 1),
+                                 0.2, (B, T))
+    return xs, dones
+
+
+class TestUnroll:
+    """unroll=K must be BITWISE identical to unroll=1: XLA unrolling reorders
+    nothing inside a step, it only batches loop iterations."""
+
+    @pytest.mark.parametrize("unroll", [2, 4])
+    def test_dense_gcm_unroll_bitwise(self, unroll):
+        model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs, dones = _traj()
+        st = model.initial_state(B, OBS)
+        out1, fs1 = model.scan(params, xs, st, dones=dones)
+        outk, fsk = model.scan(params, xs, st, dones=dones, unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(outk))
+        for a, b in zip(jax.tree.leaves(fs1), jax.tree.leaves(fsk)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_banded_unroll_bitwise_with_dones(self):
+        model = _banded()
+        params = model.init(jax.random.PRNGKey(0))
+        xs, dones = _traj(2)
+        st = model.initial_state(B, OBS)
+        out1, _ = model.scan(params, xs, st, dones=dones)
+        out4, _ = model.scan(params, xs, st, dones=dones, unroll=4)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out4))
+
+    def test_clique_unroll_bitwise(self):
+        gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh])
+        model = CliqueGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                          graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs, _ = _traj(3)
+        st = model.initial_state(B, OBS)
+        out1, _ = model.scan(params, xs, st)
+        out4, _ = model.scan(params, xs, st, unroll=4)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out4))
+
+    def test_unroll_not_multiple_of_T(self):
+        # T=13 is prime; unroll=4 exercises the remainder path
+        model = _banded()
+        params = model.init(jax.random.PRNGKey(0))
+        xs, _ = _traj(4)
+        st = model.initial_state(B, OBS)
+        out1, fs1 = model.scan(params, xs, st)
+        out4, fs4 = model.scan(params, xs, st, unroll=4)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out4))
+        np.testing.assert_array_equal(np.asarray(fs1.t), np.asarray(fs4.t))
+
+
+class TestMergedConvProj:
+    """MERGED_CONV_PROJ computes lin_rel(agg)+lin_root(h) as one matmul over
+    the concatenated operands — identical up to matmul accumulation order
+    (conftest pins precision=highest, so agreement is tight)."""
+
+    @pytest.fixture(autouse=True)
+    def _restore(self):
+        prev = config.MERGED_CONV_PROJ
+        yield
+        config.MERGED_CONV_PROJ = prev
+
+    def test_banded_scan_parity(self):
+        model = _banded()
+        params = model.init(jax.random.PRNGKey(0))
+        xs, dones = _traj(5)
+        st = model.initial_state(B, OBS)
+        config.MERGED_CONV_PROJ = False
+        out_off, _ = model.scan(params, xs, st, dones=dones)
+        config.MERGED_CONV_PROJ = True
+        out_on, _ = model.scan(params, xs, st, dones=dones)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_scored_window_parity(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh])
+        model = BandedScoredGCM(
+            gnn, distance=EuclideanEdge(max_distance=1.0, window=3),
+            preprocessor=MLP([Linear(OBS, HID)]), graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs, _ = _traj(6)
+        st = model.initial_state(B, OBS)
+        config.MERGED_CONV_PROJ = False
+        w_off, _ = model.window(params, xs, st)
+        s_off, _ = model.scan(params, xs, st)
+        config.MERGED_CONV_PROJ = True
+        w_on, _ = model.window(params, xs, st)
+        np.testing.assert_allclose(np.asarray(w_off), np.asarray(w_on),
+                                   rtol=1e-6, atol=1e-6)
+        # the window/scan parity contract must hold under the flag too
+        np.testing.assert_allclose(np.asarray(w_on), np.asarray(s_off),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grad_flows_when_merged(self):
+        model = _banded()
+        params = model.init(jax.random.PRNGKey(0))
+        xs, _ = _traj(7)
+        st = model.initial_state(B, OBS)
+        config.MERGED_CONV_PROJ = True
+
+        def loss(p):
+            out, _ = model.scan(p, xs, st)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params)
+        norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+        assert all(np.isfinite(n) for n in norms)
+        assert any(n > 0 for n in norms)
