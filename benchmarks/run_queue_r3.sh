@@ -21,5 +21,6 @@ run nav_variants 1800 python benchmarks/nav_variants.py
 run scan_breakdown 2400 python benchmarks/scan_breakdown.py --trace /tmp/scan_trace
 run scan_opt 2400 python benchmarks/scan_opt.py
 run gate_hygiene 1800 python benchmarks/gate_hygiene.py
+run serve_latency 1200 python benchmarks/serve_latency.py
 run bench 3600 python bench.py
 echo "ALL DONE"

@@ -104,6 +104,10 @@ class SessionServer:
 
     # -- row management ------------------------------------------------------
     def _allocate(self, sid):
+        """Assign a free row (LRU-evicting if full). The caller wipes the
+        row's memory — step() batches all of a tick's new rows into ONE
+        masked reset (a per-allocation jitted reset measured 6× slower on
+        the all-new-sessions churn path, benchmarks/serve_latency.py)."""
         if not self._free:
             # evict the least-recently-used session that holds a row
             # (requesters are recency-bumped before allocation, so a session
@@ -113,9 +117,6 @@ class SessionServer:
             self.end_session(victim)
         row = self._free.pop()
         self._row_of[sid] = row
-        # fresh memory for the reused row
-        onehot = jnp.zeros((self.capacity,), bool).at[row].set(True)
-        self.state = self._reset_rows(self.state, onehot)
         return row
 
     def end_session(self, sid) -> None:
@@ -143,13 +144,19 @@ class SessionServer:
         # batch can never be the LRU-eviction victim of another's allocation
         for sid in requests:
             self._last_used[sid] = next(self._clock)
-        rows, sids = [], []
+        rows, sids, new_rows = [], [], []
         for sid in requests:
             row = self._row_of.get(sid)
             if row is None:
                 row = self._allocate(sid)
+                new_rows.append(row)
             rows.append(row)
             sids.append(sid)
+        if new_rows:
+            # fresh memory for every newly-allocated row, in one device call
+            mask = np.zeros((self.capacity,), bool)
+            mask[new_rows] = True
+            self.state = self._reset_rows(self.state, jnp.asarray(mask))
 
         obs = np.zeros((self.capacity, self.obs_dim), np.float32)
         active = np.zeros((self.capacity,), bool)

@@ -78,6 +78,25 @@ class TestSessionServer:
         out_b = srv.step({"b": x})
         np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
 
+    def test_batched_allocation_resets_every_new_row(self):
+        """Several NEW sessions in one tick, all landing on dirty reused
+        rows, each start from fresh memory (step() wipes all of a tick's
+        new rows in one batched reset)."""
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=3, obs_dim=F)
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (F,)))
+
+        for _ in range(3):  # dirty all three rows with history
+            srv.step({"a": x, "b": x, "c": x})
+        for s in ("a", "b", "c"):
+            srv.end_session(s)
+        out = srv.step({"d": x, "e": x, "f": x})  # 3 new rows, one tick
+        want = solo_beliefs(model, params, jnp.asarray(x)[None])[0]
+        for s in ("d", "e", "f"):
+            np.testing.assert_allclose(out[s], want, atol=1e-5)
+
     def test_victim_never_in_current_batch(self):
         F = 4
         model = make_model(F)
