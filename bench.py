@@ -26,6 +26,22 @@ import jax
 _req = os.environ.get("JAX_PLATFORMS", "")
 if _req and "axon" not in _req:
     jax.config.update("jax_platforms", _req)
+else:
+    # The axon tunnel can go down for hours (round 3); backend init then
+    # HANGS instead of failing, which would leave the driver's end-of-round
+    # bench run with no JSON line at all. Probe device discovery in a
+    # subprocess under a timeout; if it hangs/fails, fall back to CPU and
+    # say so in the output (a marked CPU line beats a silent hang).
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("bench.py: TPU tunnel unavailable (device probe hung); "
+              "falling back to CPU", file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: first-compile through the TPU tunnel costs
 # minutes per program; cached runs take seconds

@@ -40,7 +40,9 @@ from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
 from gcm_tpu.nn.module import MLP, LayerNorm, Linear
 from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
 from gcm_tpu.rl.a2c import A2C
-from gcm_tpu.rl.env import CartPoleEnv, RecallEnv, TMazeEnv
+from gcm_tpu.rl.distributions import Categorical, DiagGaussian
+from gcm_tpu.rl.env import (CartPoleEnv, ContinuousRecallEnv, RecallEnv,
+                            TMazeEnv)
 from gcm_tpu.rl.ppo import PPO
 from gcm_tpu.rl.wrappers import GCMActorCritic, SparseGCMActorCritic
 from gcm_tpu.nn.sparse_conv import GCNConv, GraphConv, SparseGNN
@@ -96,6 +98,9 @@ __all__ = [
     "NavRelPosConv",
     "A2C",
     "PPO",
+    "Categorical",
+    "DiagGaussian",
+    "ContinuousRecallEnv",
     "CartPoleEnv",
     "RecallEnv",
     "TMazeEnv",

@@ -35,9 +35,22 @@ class A2C:
                  rollout_len: int | None = None,
                  log_grad_norms: bool = False,
                  dp_mesh=None, dp_axis: str = "dp",
-                 opt=None, max_grad_norm: float | None = None):
+                 opt=None, max_grad_norm: float | None = None,
+                 dist=None):
+        from gcm_tpu.rl.distributions import Categorical
+
         self.env = env
         self.policy = policy
+        # dist: action distribution (rl/distributions.py). Default
+        # Categorical — the reference delegates this choice to rllib's
+        # action dists (discrete AND continuous trainers share one model,
+        # ray_gcm.py:173-212); DiagGaussian gives the continuous side.
+        self.dist = dist if dist is not None else Categorical()
+        if not isinstance(self.dist, Categorical):
+            assert not getattr(policy, "cfg", {}).get(
+                "use_prev_action", False), (
+                "use_prev_action embeds discrete actions one-hot; disable "
+                "it (or extend the wrapper) for continuous distributions")
         # dp_mesh: a jax.sharding.Mesh for data-parallel training. The
         # collected trajectory is sharding-constrained on its batch axis, so
         # GSPMD shards the env rollout, replay, and loss across `dp_axis`
@@ -77,19 +90,19 @@ class A2C:
             logits, value, mem = self.policy.step(params, obs, mem,
                                                   prev_action=prev_a)
             ka, ke = jax.random.split(k)
-            action = jax.random.categorical(ka, logits)
+            action = self.dist.sample(ka, logits)
             nobs, reward, done, env_state = self.env.step(env_state, action, ke)
             out = (obs, action, reward, done, prev_a)
             # episode boundary: wipe the graph memory of finished episodes
             from gcm_tpu.core.graph_state import reset_where
 
             mem = reset_where(mem, done)
-            next_prev = jnp.where(done, 0, action)
+            next_prev = self.dist.reset_prev(action, done)
             return (nobs, env_state, mem, next_prev), out
 
         keys = jax.random.split(k_run, self.rollout_len)
         _, (obs_seq, actions, rewards, dones, prev_as) = jax.lax.scan(
-            step, (obs, env_state, mem, jnp.zeros((B,), jnp.int32)), keys
+            step, (obs, env_state, mem, self.dist.neutral_action(B)), keys
         )
         to_bt = lambda x: jnp.swapaxes(x, 0, 1)
         return {
@@ -111,13 +124,10 @@ class A2C:
                                         dones=traj["dones"])
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)
-        logp = jax.nn.log_softmax(logits)
-        act_logp = jnp.take_along_axis(
-            logp, traj["actions"][..., None], axis=-1
-        )[..., 0]
+        act_logp = self.dist.log_prob(logits, traj["actions"])
         pg_loss = -jnp.mean(act_logp * adv)
         v_loss = jnp.mean((returns - values) ** 2)
-        entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
+        entropy = jnp.mean(self.dist.entropy(logits))
         total = pg_loss + self.value_coef * v_loss - self.entropy_coef * entropy
         return total, {"pg": pg_loss, "v": v_loss, "entropy": entropy,
                        "return": jnp.mean(jnp.sum(traj["rewards"], axis=1))}

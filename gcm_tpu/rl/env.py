@@ -211,3 +211,54 @@ class RecallEnv:
         new_state = RecallEnvState(cue=new_cue, t=new_t)
         obs = self._obs(new_state, jax.random.fold_in(key, 1))
         return obs, reward, done, new_state
+
+
+class ContinuousRecallState(NamedTuple):
+    target: jax.Array  # [B] float32 in [-1, 1]
+    t: jax.Array       # [B] int32
+
+
+class ContinuousRecallEnv:
+    """Continuous-action memory task (the DiagGaussian counterpart of
+    RecallEnv): t=0 shows a scalar target in [-1, 1], later steps are noise,
+    and the last step rewards 1 − (action − target)² for the 1-D continuous
+    action. A memoryless policy's best score is 1 − Var(target) = 2/3;
+    remembering the cue reaches ~1. Same interface as the discrete envs;
+    actions are [B, 1] float."""
+
+    act_dim = 1
+
+    def __init__(self, horizon: int = 8, noise_dim: int = 4):
+        self.horizon = horizon
+        self.noise_dim = noise_dim
+        self.obs_dim = 1 + noise_dim + 1  # target ‖ noise ‖ query flag
+
+    def reset(self, key, B: int):
+        target = jax.random.uniform(key, (B,), minval=-1.0, maxval=1.0)
+        state = ContinuousRecallState(target=target,
+                                      t=jnp.zeros((B,), jnp.int32))
+        return self._obs(state, key), state
+
+    def _obs(self, state, key):
+        B = state.target.shape[0]
+        show = (state.t == 0).astype(jnp.float32)[:, None]
+        cue = state.target[:, None] * show
+        noise = jax.random.normal(key, (B, self.noise_dim)) * 0.1
+        query = (state.t == self.horizon - 1)[:, None].astype(jnp.float32)
+        return jnp.concatenate([cue, noise, query], axis=-1)
+
+    def step(self, state: ContinuousRecallState, action, key):
+        is_last = state.t == self.horizon - 1
+        err = (action[:, 0] - state.target) ** 2
+        reward = jnp.where(is_last, 1.0 - err, 0.0)
+        done = is_last
+        new_t = jnp.where(done, 0, state.t + 1)
+        new_target = jnp.where(
+            done,
+            jax.random.uniform(key, state.target.shape,
+                               minval=-1.0, maxval=1.0),
+            state.target,
+        )
+        new_state = ContinuousRecallState(target=new_target, t=new_t)
+        obs = self._obs(new_state, jax.random.fold_in(key, 1))
+        return obs, reward, done, new_state

@@ -46,7 +46,8 @@ class PPO(A2C):
                  rollout_len: int | None = None,
                  log_grad_norms: bool = False,
                  dp_mesh=None, dp_axis: str = "dp",
-                 opt=None, max_grad_norm: float | None = None):
+                 opt=None, max_grad_norm: float | None = None,
+                 dist=None):
         # dp_mesh: data-parallel training over a mesh, same contract as A2C
         # (the reference's adapter is trainer-agnostic, ray_gcm.py:173-212 —
         # every trainer gets the same batch-sharded execution). The permuted
@@ -58,7 +59,7 @@ class PPO(A2C):
                          rollout_len=rollout_len,
                          log_grad_norms=log_grad_norms,
                          dp_mesh=dp_mesh, dp_axis=dp_axis,
-                         opt=opt, max_grad_norm=max_grad_norm)
+                         opt=opt, max_grad_norm=max_grad_norm, dist=dist)
         self.lam = lam
         self.clip_eps = clip_eps
         self.epochs = epochs
@@ -72,10 +73,8 @@ class PPO(A2C):
         logits, values, _ = self.policy(params, traj_mb["obs"], mem,
                                         prev_actions=traj_mb["prev_actions"],
                                         dones=traj_mb["dones"])
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, traj_mb["actions"][..., None],
-                                   axis=-1)[..., 0]
-        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+        logp = self.dist.log_prob(logits, traj_mb["actions"])
+        entropy = self.dist.entropy(logits)
         return logp, values, entropy
 
     def ppo_loss(self, params, traj_mb):
