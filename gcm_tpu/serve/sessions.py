@@ -130,6 +130,35 @@ class SessionServer:
     def num_active(self) -> int:
         return len(self._row_of)
 
+    # -- failover ------------------------------------------------------------
+    def snapshot(self) -> dict:
+        """Serializable server state: the device pool as host arrays plus
+        the session bookkeeping. The reference designs its recurrent state
+        to be externally owned and shipped between workers (fixed-shape
+        tensors + pack/unpack codec, ray_gcm.py:156-167 / util.py:323-382);
+        this is the serving-process version — save it with any pytree
+        checkpointer (train.checkpoint works) and `restore` into a fresh
+        process. Sessions continue bit-exactly (tested)."""
+        return {
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "row_of": dict(self._row_of),
+            "last_used": dict(self._last_used),
+            "free": list(self._free),
+            "clock": next(self._clock),  # consumes one tick; monotonic
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Adopt a snapshot() from another (identically-built) server."""
+        state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
+        assert jax.tree_util.tree_structure(state) == \
+            jax.tree_util.tree_structure(self.state), (
+            "snapshot state pytree does not match this server's model")
+        self.state = state
+        self._row_of = dict(snap["row_of"])
+        self._last_used = dict(snap["last_used"])
+        self._free = list(snap["free"])
+        self._clock = itertools.count(snap["clock"])
+
     # -- inference -----------------------------------------------------------
     def step(self, requests: dict) -> dict:
         """requests: {session_id: obs [obs_dim] array-like}. Steps every

@@ -78,6 +78,34 @@ class TestSessionServer:
         out_b = srv.step({"b": x})
         np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
 
+    def test_snapshot_restore_bit_exact(self):
+        """Kill-and-restore mid-stream: a restored server continues every
+        session bit-exactly vs an uninterrupted one (incl. LRU order — the
+        next eviction picks the same victim)."""
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv_a = SessionServer(model, params, capacity=2, obs_dim=F)
+        xs = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (6, F)))
+
+        srv_a.step({"a": xs[0], "b": xs[1]})
+        srv_a.step({"a": xs[2]})          # b becomes LRU
+        snap = srv_a.snapshot()
+
+        srv_b = SessionServer(model, params, capacity=2, obs_dim=F)
+        srv_b.restore(snap)
+        out_a = srv_a.step({"a": xs[3], "b": xs[4]})
+        out_b = srv_b.step({"a": xs[3], "b": xs[4]})
+        for s in ("a", "b"):
+            np.testing.assert_array_equal(np.asarray(out_a[s]),
+                                          np.asarray(out_b[s]))
+        # same LRU victim on both servers after restore
+        o1 = srv_a.step({"c": xs[5]})
+        o2 = srv_b.step({"c": xs[5]})
+        assert set(srv_a._row_of) == set(srv_b._row_of)
+        np.testing.assert_array_equal(np.asarray(o1["c"]),
+                                      np.asarray(o2["c"]))
+
     def test_batched_allocation_resets_every_new_row(self):
         """Several NEW sessions in one tick, all landing on dirty reused
         rows, each start from fresh memory (step() wipes all of a tick's
