@@ -33,13 +33,22 @@ from gcm_tpu.core.graph_state import reset_where
 
 class SessionServer:
     def __init__(self, model, params, capacity: int, obs_dim: int,
-                 dtype=jnp.float32, step_fn=None, initial_state=None):
+                 dtype=jnp.float32, step_fn=None, initial_state=None,
+                 mesh=None, axis: str = "dp"):
         """model/params back the server directly; alternatively pass
         step_fn(params, obs, state) -> (belief, state) plus an
         `initial_state` pytree (see `from_step`) and `model` may be None —
         the artifact-serving mode, where the step came from a deserialized
         jax.export blob and no model-building Python exists in the
-        process."""
+        process.
+
+        mesh: optional jax.sharding.Mesh — shards the session pool's
+        capacity axis over `axis`, so total live-session state scales with
+        the number of chips instead of one chip's HBM (sessions never
+        interact, so the masked step needs ZERO collectives; GSPMD keeps
+        every row's graph wholly on its shard). capacity must divide the
+        axis size. Bookkeeping stays host-side and identical; outputs are
+        parity-tested against the unsharded server on the virtual mesh."""
         self.model = model
         self.params = params
         self.capacity = capacity
@@ -48,6 +57,24 @@ class SessionServer:
             self.state = initial_state
         else:
             self.state = model.initial_state(capacity, obs_dim, dtype=dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shard = mesh.shape[axis]
+            assert capacity % n_shard == 0, (
+                f"capacity {capacity} must divide mesh axis {n_shard}")
+
+            def shard(a):
+                if a.ndim == 0 or a.shape[0] != capacity:
+                    spec = P()
+                else:
+                    spec = P(axis, *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            self.state = jax.tree_util.tree_map(shard, self.state)
+            self._place = shard
+        else:
+            self._place = jnp.asarray
         model_step = step_fn if step_fn is not None else (
             lambda p, x, s: model(p, x, s))
         self._row_of: dict = {}          # session_id -> row
@@ -148,8 +175,11 @@ class SessionServer:
         }
 
     def restore(self, snap: dict) -> None:
-        """Adopt a snapshot() from another (identically-built) server."""
-        state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
+        """Adopt a snapshot() from another (identically-built) server.
+        The pool is re-placed under THIS server's sharding (a snapshot from
+        an unsharded server restores fine onto a mesh one and vice versa)."""
+        state = jax.tree_util.tree_map(
+            lambda a: self._place(jnp.asarray(a)), snap["state"])
         assert jax.tree_util.tree_structure(state) == \
             jax.tree_util.tree_structure(self.state), (
             "snapshot state pytree does not match this server's model")

@@ -78,6 +78,39 @@ class TestSessionServer:
         out_b = srv.step({"b": x})
         np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
 
+    def test_mesh_sharded_pool_matches_unsharded(self):
+        """mesh= shards the capacity axis over devices (8-way virtual mesh):
+        same request stream -> identical outputs, and the pool actually
+        lives on more than one device."""
+        from gcm_tpu.parallel.mesh import make_mesh
+
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = make_mesh(dp=8)
+        srv_1 = SessionServer(model, params, capacity=8, obs_dim=F)
+        srv_m = SessionServer(model, params, capacity=8, obs_dim=F,
+                              mesh=mesh)
+        assert len(srv_m.state.nodes.sharding.device_set) == 8
+        rng = np.random.default_rng(0)
+        for t in range(5):
+            n_live = 2 + (t % 3) * 3  # varies 2..8, exercises allocation
+            reqs = {f"s{i}": rng.standard_normal(F) for i in range(n_live)}
+            o1 = srv_1.step(dict(reqs))
+            om = srv_m.step(dict(reqs))
+            for sid in o1:
+                np.testing.assert_allclose(np.asarray(o1[sid]),
+                                           np.asarray(om[sid]), atol=1e-6)
+        # failover across sharding layouts: unsharded snapshot -> mesh server
+        snap = srv_1.snapshot()
+        srv_m2 = SessionServer(model, params, capacity=8, obs_dim=F,
+                               mesh=mesh)
+        srv_m2.restore(snap)
+        x = rng.standard_normal(F)
+        np.testing.assert_allclose(
+            np.asarray(srv_1.step({"s0": x})["s0"]),
+            np.asarray(srv_m2.step({"s0": x})["s0"]), atol=1e-6)
+
     def test_snapshot_restore_bit_exact(self):
         """Kill-and-restore mid-stream: a restored server continues every
         session bit-exactly vs an uninterrupted one (incl. LRU order — the
