@@ -78,6 +78,51 @@ class TestSessionServer:
         out_b = srv.step({"b": x})
         np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
 
+    def test_random_interleavings_property(self):
+        """Hypothesis: for ANY request interleaving (random per-tick session
+        subsets, random mid-stream end_session restarts), every session's
+        belief stream equals running its own observation sub-stream solo.
+        Generalizes the fixed interleaving test."""
+        from hypothesis import given, settings, strategies as st
+
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(
+            st.tuples(st.lists(st.integers(0, 3), min_size=1, max_size=4,
+                               unique=True),
+                      st.integers(-1, 3)),  # (requesters, end_session or -1)
+            min_size=1, max_size=6), st.integers(0, 2 ** 31 - 1))
+        def run(script, seed):
+            srv = SessionServer(model, params, capacity=4, obs_dim=F)
+            rng = np.random.default_rng(seed)
+            streams = {i: [] for i in range(4)}  # obs history per session
+            beliefs = {i: [] for i in range(4)}
+            for requesters, ender in script:
+                reqs = {}
+                for s in requesters:
+                    x = rng.standard_normal(F).astype(np.float32)
+                    streams[s].append(x)
+                    reqs[f"s{s}"] = x
+                out = srv.step(reqs)
+                for s in requesters:
+                    beliefs[s].append(np.asarray(out[f"s{s}"]))
+                if ender >= 0:
+                    srv.end_session(f"s{ender}")
+                    streams[ender] = []   # restarts fresh on next request
+                    beliefs[ender] = []
+            for s in range(4):
+                if not streams[s]:
+                    continue
+                xs = jnp.asarray(np.stack(streams[s]))[None]
+                want, _ = model.scan(params, xs, model.initial_state(1, F))
+                np.testing.assert_allclose(np.stack(beliefs[s]),
+                                           np.asarray(want[0]), atol=1e-5)
+
+        run()
+
     def test_mesh_sharded_pool_matches_unsharded(self):
         """mesh= shards the capacity axis over devices (8-way virtual mesh):
         same request stream -> identical outputs, and the pool actually
