@@ -107,9 +107,9 @@ def main():
 
     pserver = make_policy_server()
     ms = tick_latency(pserver, CAP // 4, seed=7) * 1e3
-    results["policy_req16_ms"] = round(ms, 3)
-    print(json.dumps({"policy_req16_ms": results["policy_req16_ms"]}),
-          flush=True)
+    key = f"policy_req{CAP // 4}_ms"
+    results[key] = round(ms, 3)
+    print(json.dumps({key: results[key]}), flush=True)
 
     print(json.dumps({"backend": jax.default_backend(),
                       "workload": f"cap={CAP} obs={OBS} hid={HID} N={N}",

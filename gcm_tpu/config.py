@@ -21,11 +21,13 @@ USE_PALLAS: bool | str = "auto"
 # once. The Pallas path is kept for experimentation but defaults off.
 PALLAS_DENSE_GCONV = False
 
-# Fast cores (banded/scored/clique) compute each conv layer's tail as
-# lin_rel(agg) + lin_root(h). True merges the two matmuls into one over the
-# concatenated input (nn/dense_conv.py::conv_project) — a candidate for the
-# overhead-dominated scan regime, pending TPU measurement
-# (benchmarks/scan_opt.py). Default off until measured.
+# The banded cores (BandedRingGCM / BandedScoredGCM) compute each conv
+# layer's tail as lin_rel(agg) + lin_root(h). True merges the two matmuls
+# into one over the concatenated input (nn/dense_conv.py::conv_project) — a
+# candidate for the overhead-dominated scan regime, pending TPU measurement
+# (benchmarks/scan_opt.py). Default off until measured. (CliqueGCM is
+# unaffected: its rel term is a [B,F] matmul with a different leading shape
+# than the [B,N,F] root — the two cannot merge.)
 MERGED_CONV_PROJ: bool = False
 
 # Heuristic bounds: the one-hot-matmul SpMM trades FLOPs for MXU residency.

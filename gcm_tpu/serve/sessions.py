@@ -46,8 +46,8 @@ class SessionServer:
         capacity axis over `axis`, so total live-session state scales with
         the number of chips instead of one chip's HBM (sessions never
         interact, so the masked step needs ZERO collectives; GSPMD keeps
-        every row's graph wholly on its shard). capacity must divide the
-        axis size. Bookkeeping stays host-side and identical; outputs are
+        every row's graph wholly on its shard). The axis size must divide
+        capacity. Bookkeeping stays host-side and identical; outputs are
         parity-tested against the unsharded server on the virtual mesh."""
         self.model = model
         self.params = params
@@ -62,7 +62,8 @@ class SessionServer:
 
             n_shard = mesh.shape[axis]
             assert capacity % n_shard == 0, (
-                f"capacity {capacity} must divide mesh axis {n_shard}")
+                f"mesh axis '{axis}' size {n_shard} must divide "
+                f"capacity {capacity}")
 
             def shard(a):
                 if a.ndim == 0 or a.shape[0] != capacity:
@@ -215,7 +216,7 @@ class SessionServer:
             # fresh memory for every newly-allocated row, in one device call
             mask = np.zeros((self.capacity,), bool)
             mask[new_rows] = True
-            self.state = self._reset_rows(self.state, jnp.asarray(mask))
+            self.state = self._reset_rows(self.state, self._place(mask))
 
         obs = np.zeros((self.capacity, self.obs_dim), np.float32)
         active = np.zeros((self.capacity,), bool)
@@ -223,8 +224,11 @@ class SessionServer:
             obs[row] = np.asarray(requests[sid], np.float32)
             active[row] = True
 
-        out, self.state = self._step(self.params, jnp.asarray(obs),
-                                     self.state, jnp.asarray(active))
+        # _place lands per-tick inputs directly under the pool's sharding
+        # (on a mesh server jnp.asarray would put them whole on the default
+        # device and force a reshard inside every jitted call)
+        out, self.state = self._step(self.params, self._place(obs),
+                                     self.state, self._place(active))
         # out may be any pytree with a leading capacity axis (a belief
         # array, or e.g. {"logits": ..., "value": ...} from a policy step)
         out = jax.tree_util.tree_map(np.asarray, out)

@@ -120,10 +120,14 @@ class TestMergedConvProj:
         s_off, _ = model.scan(params, xs, st)
         config.MERGED_CONV_PROJ = True
         w_on, _ = model.window(params, xs, st)
+        s_on, _ = model.scan(params, xs, st)
         np.testing.assert_allclose(np.asarray(w_off), np.asarray(w_on),
                                    rtol=1e-6, atol=1e-6)
-        # the window/scan parity contract must hold under the flag too
-        np.testing.assert_allclose(np.asarray(w_on), np.asarray(s_off),
+        np.testing.assert_allclose(np.asarray(s_off), np.asarray(s_on),
+                                   rtol=1e-6, atol=1e-6)
+        # the window/scan parity contract must hold WITH the flag on for
+        # both paths (both then route through conv_project's merged matmul)
+        np.testing.assert_allclose(np.asarray(w_on), np.asarray(s_on),
                                    rtol=1e-5, atol=1e-6)
 
     def test_grad_flows_when_merged(self):
