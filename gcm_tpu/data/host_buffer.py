@@ -23,7 +23,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "host_buffer.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
@@ -44,6 +47,22 @@ def _load():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.ep_create.restype = ctypes.c_void_p
+    lib.ep_create.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                              ctypes.c_int32, ctypes.c_float,
+                              ctypes.c_uint64]
+    lib.ep_destroy.argtypes = [ctypes.c_void_p]
+    lib.ep_obs_dim.restype = ctypes.c_int32
+    lib.ep_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.ep_reset.argtypes = [ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_float)]
+    lib.ep_set_state.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_float)] * 4
+    lib.ep_step.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.pack_edges.restype = ctypes.c_int32
     lib.pack_edges.argtypes = [
