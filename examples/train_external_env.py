@@ -78,12 +78,29 @@ def main():
     ap.add_argument("--updates", type=int, default=60)
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--corridor", type=int, default=4)
+    ap.add_argument("--native-cartpole", action="store_true",
+                    help="use the C++ vectorized CartPole pool "
+                         "(rl.native_env, 44x the Python env loop) instead "
+                         "of the Python T-maze")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize pins "
+                         "the TPU plugin, which hangs when the tunnel is "
+                         "down; JAX_PLATFORMS alone is ignored)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
-    pool = HostEnvPool([PyTMaze(args.corridor,
-                                np.random.default_rng(100 + i))
-                        for i in range(args.envs)])
-    T_max = args.corridor + 4
+    if args.native_cartpole:
+        from gcm_tpu.rl.native_env import NativeCartPolePool
+
+        pool = NativeCartPolePool(args.envs, horizon=24, reward_scale=0.1,
+                                  seed=100)
+        T_max = pool.horizon
+    else:
+        pool = HostEnvPool([PyTMaze(args.corridor,
+                                    np.random.default_rng(100 + i))
+                            for i in range(args.envs)])
+        T_max = args.corridor + 4
     policy = SparseGCMActorCritic(
         pool.obs_dim, pool.num_actions, pool.num_actions,
         graph_size=T_max + 1, gnn_input_size=32, gnn_output_size=32,
@@ -114,8 +131,10 @@ def main():
     # greedy evaluation
     n_eps, mean_ret = collect_host_episodes(
         pool, policy, params, buf, steps=4 * T_max, key=key, greedy=True)
+    note = ("(reward 0.1/step, horizon 24)" if args.native_cartpole
+            else "(optimal = 4.0, memoryless ~ 1.95)")
     print(f"greedy eval over {n_eps} episodes: mean return {mean_ret:.2f} "
-          f"(optimal = 4.0, memoryless ~ 1.95)", flush=True)
+          f"{note}", flush=True)
     return mean_ret
 
 

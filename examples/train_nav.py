@@ -38,7 +38,15 @@ def main():
     ap.add_argument("--updates", type=int, default=80)
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--horizon", type=int, default=24)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS is ignored "
+                         "by the sitecustomize; needed when the TPU tunnel "
+                         "is down)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     pool = HostEnvPool([PointGoalNav(horizon=args.horizon,
                                      rng=np.random.default_rng(100 + i))

@@ -80,7 +80,15 @@ def main():
     ap.add_argument("--env", default="recall", choices=["recall", "tmaze"])
     ap.add_argument("--updates", type=int, default=400)
     ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS is ignored "
+                         "by the sitecustomize; needed when the TPU tunnel "
+                         "is down)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.env == "tmaze":
         env = TMazeEnv(corridor_length=4)

@@ -127,6 +127,32 @@ class TestContinuousControl:
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["return"]))
 
+    def test_ppo_gaussian_dp_matches_single_device(self):
+        """DiagGaussian composes with dp_mesh data parallelism: the sharded
+        PPO update is numerically identical to the single-device one
+        (mirrors test_parallel.py's categorical version — the dist math is
+        per-sample, so batch sharding must not change it)."""
+        from gcm_tpu.parallel.mesh import make_mesh
+
+        env = ContinuousRecallEnv(horizon=4, noise_dim=2)
+
+        def mk(mesh):
+            pol = make_cont_policy(env)
+            return PPO(env, pol, epochs=2, num_minibatches=2, dp_mesh=mesh,
+                       dist=DiagGaussian(env.act_dim))
+
+        mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+        plain = mk(None)
+        dp = mk(mesh)
+        params, opt_state = plain.init(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        p1, o1, m1 = plain.update(params, opt_state, key, 16)
+        p2, o2, m2 = dp.update(params, opt_state, key, 16)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+        assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+
     def test_prev_action_rejected_for_gaussian(self):
         env = ContinuousRecallEnv(horizon=4, noise_dim=2)
         pol = make_cont_policy(env, use_prev_action=True)
