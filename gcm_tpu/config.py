@@ -37,6 +37,45 @@ MERGED_CONV_PROJ: bool = False
 PALLAS_SPMM_MAX_NODES = 1024
 PALLAS_SPMM_MIN_WORK = 1_000_000  # E * N threshold
 
+# Grid-free edge emission gate: window-space scoring wins when the graph is
+# at least EMIT_WINDOW_FACTOR x the effective window (measured crossover,
+# edges/sparse_learned.py::emit_profitable; benchmarks/gate_hygiene.py
+# re-measures it at other shapes).
+EMIT_WINDOW_FACTOR = 4
+
+
+_TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
+                 "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
+                 "EMIT_WINDOW_FACTOR")
+
+
+def apply_tuning(overrides: dict) -> None:
+    """Override dispatch thresholds/flags from a measurement pass. Every
+    gate above was measured on ONE chip generation at specific shapes
+    (values recorded in BASELINE.md); a deployment on different hardware
+    re-measures (benchmarks/gate_hygiene.py, scan_opt.py) and applies the
+    result here — or drops it in a JSON file named by GCM_TUNE_FILE, loaded
+    at import. Unknown keys raise: silently ignored typos would look like
+    applied tuning."""
+    g = globals()
+    for k, v in overrides.items():
+        if k not in _TUNABLE_KEYS:
+            raise KeyError(
+                f"unknown tuning key {k!r}; tunable: {_TUNABLE_KEYS}")
+        g[k] = v
+
+
+def load_tuning(path: str) -> None:
+    import json
+
+    with open(path) as f:
+        apply_tuning(json.load(f))
+
+
+_tune_file = os.environ.get("GCM_TUNE_FILE", "")
+if _tune_file:
+    load_tuning(_tune_file)
+
 
 def use_pallas() -> bool:
     if USE_PALLAS == "auto":

@@ -154,11 +154,15 @@ class LearnedEdge:
         Tw=32 window=16): window-space scoring wins 2.6x at N=512
         (w'/N ≈ 0.09) but LOSES 25% at N=128 (w'/N ≈ 0.38) — the extra
         window gather + wider append outweigh the saved scoring until the
-        window is a small fraction of the graph. Gate at N ≥ 4·w'."""
+        window is a small fraction of the graph. Gate at
+        N ≥ EMIT_WINDOW_FACTOR·w' (config-tunable; gate_hygiene.py
+        re-measures the crossover at other shapes)."""
         if self.window is None:
             return False
+        from gcm_tpu import config
+
         wp = min(self.window + t, N)
-        return N >= 4 * wp
+        return N >= config.EMIT_WINDOW_FACTOR * wp
 
     def emit_edges(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         """Window-space scoring + direct edge emission.
