@@ -135,7 +135,58 @@ def spmm_ms(B, N, E, F, impl, iters_lo=10, iters_hi=60, seed=7):
     return slope * 1e3
 
 
+def derive_tuning(out, window_eff=16 + 32):
+    """Turn the measured win/loss table into config.apply_tuning overrides
+    (pure function; unit-tested in tests/test_scan_opt.py).
+
+    - EMIT_WINDOW_FACTOR: the N/w' boundary separating emit wins from grid
+      wins — midpoint between the largest losing ratio and the smallest
+      winning ratio. If the measurements are not separable by any single
+      factor (win below a loss), the current gate is kept and flagged.
+    - PALLAS_SPMM_MIN_WORK: same construction on E*N (geometric midpoint).
+    Only gates whose measured boundary is separable appear in the result.
+    """
+    import math
+
+    tune, notes = {}, []
+
+    win_r, loss_r = [], []
+    for key, rec in out.get("emit", {}).items():
+        n = int(key.rsplit("_N", 1)[1])
+        (win_r if rec["emit_wins"] else loss_r).append(n / window_eff)
+    if win_r and loss_r:
+        if max(loss_r) < min(win_r):
+            tune["EMIT_WINDOW_FACTOR"] = round(
+                (max(loss_r) + min(win_r)) / 2, 2)
+        else:
+            notes.append("emit results not separable by a single factor")
+    elif win_r or loss_r:
+        notes.append("emit results one-sided; keeping current factor")
+
+    win_w, loss_w = [], []
+    for rec in out.get("spmm", {}).values():
+        (win_w if rec["pallas_wins"] else loss_w).append(rec["EN_work"])
+    if win_w and loss_w:
+        if max(loss_w) < min(win_w):
+            tune["PALLAS_SPMM_MIN_WORK"] = int(
+                math.sqrt(max(loss_w) * min(win_w)))
+        else:
+            notes.append("spmm results not separable by a single threshold")
+    elif win_w or loss_w:
+        notes.append("spmm results one-sided; keeping current threshold")
+
+    return tune, notes
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--emit-tune", default="",
+                    help="write derived config.apply_tuning overrides "
+                         "(GCM_TUNE_FILE format) to this path")
+    args = ap.parse_args()
+
     out = {"emit": {}, "spmm": {}}
 
     # 1) emit crossover at a second B and hidden width. Recorded gate:
@@ -165,8 +216,13 @@ def main():
             out["spmm"][f"B{B}_F{F}_N{N}_E{E}"] = rec
             print(json.dumps({f"spmm_B{B}_F{F}_N{N}_E{E}": rec}), flush=True)
 
-    print(json.dumps({"backend": jax.default_backend(), "results": out}),
-          flush=True)
+    tune, notes = derive_tuning(out)
+    print(json.dumps({"backend": jax.default_backend(), "results": out,
+                      "derived_tuning": tune, "notes": notes}), flush=True)
+    if args.emit_tune:
+        with open(args.emit_tune, "w") as f:
+            json.dump(tune, f)
+        print(json.dumps({"tune_file": args.emit_tune}), flush=True)
 
 
 if __name__ == "__main__":

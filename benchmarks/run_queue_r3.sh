@@ -20,7 +20,7 @@ run spmm_variants 1800 python benchmarks/spmm_variants.py
 run nav_variants 1800 python benchmarks/nav_variants.py
 run scan_breakdown 2400 python benchmarks/scan_breakdown.py --trace /tmp/scan_trace
 run scan_opt 2400 python benchmarks/scan_opt.py
-run gate_hygiene 1800 python benchmarks/gate_hygiene.py
+run gate_hygiene 1800 python benchmarks/gate_hygiene.py --emit-tune MEASURE_r3/tune.json
 run serve_latency 1200 python benchmarks/serve_latency.py
 run bench 3600 python bench.py
 echo "ALL DONE"

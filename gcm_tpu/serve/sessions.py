@@ -82,6 +82,10 @@ class SessionServer:
         self._free = list(range(capacity - 1, -1, -1))  # pop() -> row 0 first
         self._clock = itertools.count()
         self._last_used: dict = {}       # session_id -> clock tick
+        # observability counters (returned by .stats; the serving analog of
+        # the selector aux dicts — production monitors eviction pressure)
+        self._counters = {"ticks": 0, "requests": 0, "allocations": 0,
+                          "evictions": 0}
 
         def masked_step(params, obs, state, active):
             beliefs, new_state = model_step(params, obs, state)
@@ -143,8 +147,10 @@ class SessionServer:
             victim = min((s for s in self._last_used if s in self._row_of),
                          key=self._last_used.get)
             self.end_session(victim)
+            self._counters["evictions"] += 1
         row = self._free.pop()
         self._row_of[sid] = row
+        self._counters["allocations"] += 1
         return row
 
     def end_session(self, sid) -> None:
@@ -157,6 +163,14 @@ class SessionServer:
     @property
     def num_active(self) -> int:
         return len(self._row_of)
+
+    @property
+    def stats(self) -> dict:
+        """Lifetime counters + pool occupancy. `evictions` rising means
+        capacity pressure (sessions losing memory before their streams
+        end) — resize the pool or shard it over a mesh."""
+        return {**self._counters, "active": len(self._row_of),
+                "capacity": self.capacity}
 
     # -- failover ------------------------------------------------------------
     def snapshot(self) -> dict:
@@ -204,6 +218,8 @@ class SessionServer:
         # batch can never be the LRU-eviction victim of another's allocation
         for sid in requests:
             self._last_used[sid] = next(self._clock)
+        self._counters["ticks"] += 1
+        self._counters["requests"] += len(requests)
         rows, sids, new_rows = [], [], []
         for sid in requests:
             row = self._row_of.get(sid)

@@ -182,3 +182,29 @@ class TestTuningOverrides:
         assert sel.emit_profitable(t=16, N=128)
         config.EMIT_WINDOW_FACTOR = 8
         assert not sel.emit_profitable(t=16, N=128)
+
+    def test_gate_hygiene_derivation(self):
+        """derive_tuning turns win/loss tables into overrides only when a
+        single boundary separates them."""
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "gate_hygiene", os.path.join(os.path.dirname(__file__), "..",
+                                         "benchmarks", "gate_hygiene.py"))
+        gh = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gh)
+
+        out = {"emit": {"B8_h32_N128": {"emit_wins": False},
+                        "B8_h32_N512": {"emit_wins": True}},
+               "spmm": {"a": {"pallas_wins": False, "EN_work": 500_000},
+                        "b": {"pallas_wins": True, "EN_work": 2_000_000}}}
+        tune, notes = gh.derive_tuning(out, window_eff=48)
+        assert 128 / 48 < tune["EMIT_WINDOW_FACTOR"] < 512 / 48
+        assert 500_000 < tune["PALLAS_SPMM_MIN_WORK"] < 2_000_000
+        assert not notes
+        # non-separable: a win below a loss -> keep gate, note it
+        out["spmm"]["c"] = {"pallas_wins": False, "EN_work": 3_000_000}
+        tune2, notes2 = gh.derive_tuning(out, window_eff=48)
+        assert "PALLAS_SPMM_MIN_WORK" not in tune2
+        assert any("spmm" in n for n in notes2)
+        # the derived overrides load through the real config path
+        config.apply_tuning(tune)

@@ -78,6 +78,20 @@ class TestSessionServer:
         out_b = srv.step({"b": x})
         np.testing.assert_allclose(out_b["b"], want, atol=1e-5)
 
+    def test_stats_counters(self):
+        F = 4
+        model = make_model(F)
+        params = model.init(jax.random.PRNGKey(0))
+        srv = SessionServer(model, params, capacity=2, obs_dim=F)
+        x = np.zeros(F, np.float32)
+        srv.step({"a": x, "b": x})   # 2 allocations
+        srv.step({"a": x})           # b LRU
+        srv.step({"c": x})           # evicts b, allocates c
+        s = srv.stats
+        assert s["ticks"] == 3 and s["requests"] == 4
+        assert s["allocations"] == 3 and s["evictions"] == 1
+        assert s["active"] == 2 and s["capacity"] == 2
+
     def test_random_interleavings_property(self):
         """Hypothesis: for ANY request interleaving (random per-tick session
         subsets, random mid-stream end_session restarts), every session's
