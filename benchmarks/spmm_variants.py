@@ -101,15 +101,20 @@ def sort_by_sink(edges, w):
 
 # ---------------------------------------------------------------- variants
 
-def xla_sorted(x, edges, w):
-    """Pre-sorted edges + sorted/drop hints to the scatter."""
+def xla_sorted(x, edges, w, hint=False):
+    """Pre-sorted edges; optionally also pass the indices_are_sorted hint.
+    First TPU run: the HINTED form miscompiles (max|d|=28 vs the unsorted
+    scatter) even though the combined (b, sink) indices are genuinely
+    lexicographically sorted — so the default measures edge-order locality
+    only, and the hinted form is kept as a separate variant to re-confirm
+    the miscompile."""
     valid = edge_mask(edges)
     sink = jnp.where(valid, edges[:, 0, :], N).astype(jnp.int32)
     msgs = gather_nodes(x, edges[:, 1, :]) * w[..., None]
     msgs = jnp.where(valid[..., None], msgs, 0.0)
     out = jnp.zeros((B, N + 1, F), x.dtype)
     out = out.at[jnp.arange(B)[:, None], sink].add(
-        msgs, indices_are_sorted=True, unique_indices=False)
+        msgs, indices_are_sorted=hint, unique_indices=False)
     return out[:, :N]
 
 
@@ -138,6 +143,13 @@ def _use_interpret():
 
 
 def _onehot_kernel(dtype):
+    # This machine defaults matmul precision to bf16: without an explicit
+    # precision the "f32" variant silently measures bf16 math (first TPU run
+    # produced bit-identical error to the bf16 variant, 7.37e-2). Force
+    # HIGHEST for f32 so the variant measures what its name claims.
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def kernel(edges_ref, w_ref, x_ref, out_ref):
         x = x_ref[0].astype(dtype)
         sink = edges_ref[0, 0, :]
@@ -146,11 +158,13 @@ def _onehot_kernel(dtype):
         n, e = x.shape[0], sink.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
         src_oh = (rows == src[:, None]).astype(dtype)
-        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32)
+        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32,
+                           precision=prec)
         gathered = gathered * w[:, None]
         sink_oh = (rows == sink[:, None]).astype(dtype)
         partial = jnp.dot(sink_oh.T, gathered.astype(dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
 
         @pl.when(pl.program_id(1) == 0)
         def _():
@@ -214,6 +228,9 @@ def bucket_by_sink_window(edges, w, win=W_WIN, cap=None):
 
 
 def _win_kernel(dtype):
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)  # see _onehot_kernel note
+
     def kernel(edges_ref, w_ref, x_ref, out_ref):
         x = x_ref[0].astype(dtype)          # [N, F]
         sink = edges_ref[0, 0, :]           # [E_blk]
@@ -223,12 +240,14 @@ def _win_kernel(dtype):
         k = pl.program_id(1)                # window index
         rows = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
         src_oh = (rows == src[:, None]).astype(dtype)
-        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32)
+        gathered = jnp.dot(src_oh, x, preferred_element_type=jnp.float32,
+                           precision=prec)
         gathered = gathered * w[:, None]
         wrows = jax.lax.broadcasted_iota(jnp.int32, (e, W_WIN), 1)
         sink_oh = (wrows == (sink - k * W_WIN)[:, None]).astype(dtype)
         partial = jnp.dot(sink_oh.T, gathered.astype(dtype),
-                          preferred_element_type=jnp.float32)  # [W, F]
+                          preferred_element_type=jnp.float32,
+                          precision=prec)  # [W, F]
 
         @pl.when(pl.program_id(2) == 0)
         def _():
@@ -375,6 +394,8 @@ def main():
 
     run("xla_scatter", edge_scatter_add, edges, w)
     run("xla_sorted", xla_sorted, sedges, sw)
+    run("xla_sorted_hint",
+        lambda x, e, ww: xla_sorted(x, e, ww, hint=True), sedges, sw)
     run("xla_cumsum", xla_cumsum, sedges, sw)
     run("pallas_onehot",
         lambda x, e, ww: pallas_onehot_dtype(x, e, ww, jnp.float32),

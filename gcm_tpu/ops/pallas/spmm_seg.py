@@ -53,8 +53,8 @@ def _kernel(nw: int):
         xTw = xT_ref[0]                       # [F, W] source window
         src = edges_ref[0, 1, :]              # [_C]
         wts = w_ref[0, 0, :]                  # [_C] f32, 0 on invalid lanes
-        begin = begin_ref[0, 0, 0, :]         # [W] chunk-local begin per sink
-        end = end_ref[0, 0, 0, :]             # [W] chunk-local end per sink
+        begin = begin_ref[0, 0, 0, 0, :]      # [W] chunk-local begin per sink
+        end = end_ref[0, 0, 0, 0, :]          # [W] chunk-local end per sink
         F = xTw.shape[0]
         p = pl.program_id(1)
         kc = p - (p // nw) * nw
@@ -106,9 +106,12 @@ def spmm_seg_T(xT, bedges, bweights, begin, end, *, cap: int):
             pl.BlockSpec((1, 1, _C),
                          lambda b, p, j: (b, 0, p * n_chunks + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, p, j: (b, p, j, 0),
+            # Mosaic needs the block's trailing two dims (8,128)-divisible or
+            # equal to the array's; a singleton axis before W satisfies that
+            # (block (...,1,W) over array (...,1,W)).
+            pl.BlockSpec((1, 1, 1, 1, W), lambda b, p, j: (b, p, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, p, j: (b, p, j, 0),
+            pl.BlockSpec((1, 1, 1, 1, W), lambda b, p, j: (b, p, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F, W), lambda b, p, j: (b, 0, p % nw),
                          memory_space=pltpu.VMEM),
@@ -124,7 +127,7 @@ def spmm_seg_T(xT, bedges, bweights, begin, end, *, cap: int):
             transcendentals=0,
         ),
     )(bedges, bweights.astype(jnp.float32).reshape(B, 1, -1),
-      begin, end, xT)
+      begin[:, :, :, None, :], end[:, :, :, None, :], xT)
 
 
 def bucket_edges_segments(edges, weights, num_nodes: int, cap: int):
