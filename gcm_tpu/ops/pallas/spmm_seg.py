@@ -67,7 +67,14 @@ def _kernel(nw: int):
         idx = jnp.broadcast_to(il[None, :], (F, _C))
         g = jnp.take_along_axis(xTw, idx, axis=1)     # [F, _C] VPU gather
         msgs = g * wts[None, :]                       # exact f32
-        C = jnp.cumsum(msgs, axis=1)                  # [F, _C] lane cumsum
+        # lane cumsum via log-step doubling (Mosaic has no cumsum lowering):
+        # 7 static shift+adds on [F, 128], exact f32, VPU-only.
+        C = msgs
+        k = 1
+        while k < _C:
+            C = C + jnp.concatenate(
+                [jnp.zeros((F, k), C.dtype), C[:, :_C - k]], axis=1)
+            k *= 2
 
         e_idx = jnp.broadcast_to(jnp.clip(end - 1, 0, _C - 1)[None, :],
                                  (F, W))
