@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
     ap.add_argument("--t-banded", type=int, nargs=2, default=(128, 2176))
+    ap.add_argument("--confirm", action="store_true",
+                    help="variance check of the first run's winners: banded "
+                         "unroll 1/4/8(+merged) and the missing 4+merged "
+                         "point, two seeds each; plus dense unroll 1/4")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -81,6 +85,29 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.confirm:
+        for merged in (False, True):
+            config.MERGED_CONV_PROJ = merged
+            tag = "m1" if merged else "m0"
+            for unroll in (1, 4, 8):
+                for rep in (0, 1):
+                    rate, slope = slope_rate(banded_scan_fn(unroll),
+                                             *args.t_banded,
+                                             seed=100 * rep + 51 + unroll
+                                             + (7 if merged else 0))
+                    record(f"banded_u{unroll}_{tag}_r{rep}", rate, slope)
+        config.MERGED_CONV_PROJ = False
+        for unroll in (1, 4):
+            for rep in (0, 1):
+                rate, slope = slope_rate(dense_scan_fn(unroll),
+                                         *args.t_dense,
+                                         seed=100 * rep + 61 + unroll)
+                record(f"dense_u{unroll}_r{rep}", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     for unroll in (1, 2, 4, 8):
         rate, slope = slope_rate(dense_scan_fn(unroll), *args.t_dense,

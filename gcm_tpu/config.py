@@ -31,11 +31,23 @@ PALLAS_DENSE_GCONV = False
 MERGED_CONV_PROJ: bool = False
 
 # Heuristic bounds: the one-hot-matmul SpMM trades FLOPs for MXU residency.
-# Measured crossover (TPU v5e, slope-timed): XLA's sort-based scatter wins
-# below ~1e6 E·N work (e.g. N=128, E=512: 191us vs 438us); the Pallas kernel
-# wins ~5.7x above it (N=512, E=8192: 1.9ms vs 11ms).
+# Round-3 re-measurement (benchmarks/spmm_crossover.py + gate_hygiene.py,
+# TPU v5e): the Pallas kernel wins 5-10x at EVERY measured point down to
+# E*N=32768 (B=32 N=128 E=256), including the round-2 calibration point
+# where XLA had won (N=128, E=512: now 0.022 vs 0.210 ms) — the old 1e6
+# threshold was stale. Floor kept at half the smallest measured win so
+# unmeasured micro-shapes stay on XLA.
 PALLAS_SPMM_MAX_NODES = 1024
-PALLAS_SPMM_MIN_WORK = 1_000_000  # E * N threshold
+PALLAS_SPMM_MIN_WORK = 16_384  # E * N threshold
+
+# lax.scan unroll factor used by every stepwise core when the caller passes
+# unroll=None (bit-identical recurrence; parity pinned in
+# tests/test_scan_opt.py). Measured round 3 (benchmarks/scan_opt.py + the
+# --confirm variance check, TPU v5e): dense unroll=4 is +12-16% over
+# unroll=1 across 6 measurements; banded deltas are within the ±10% run
+# noise and never negative at 4. The first run's unroll=8 regression and
+# +24% merged-proj interaction both failed to reproduce (artifacts).
+SCAN_UNROLL: int = 4
 
 # Grid-free edge emission gate: window-space scoring wins when the graph is
 # at least EMIT_WINDOW_FACTOR x the effective window (measured crossover,
@@ -46,7 +58,7 @@ EMIT_WINDOW_FACTOR = 4
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
-                 "EMIT_WINDOW_FACTOR")
+                 "EMIT_WINDOW_FACTOR", "SCAN_UNROLL")
 
 
 def apply_tuning(overrides: dict) -> None:

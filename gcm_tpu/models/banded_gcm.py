@@ -276,7 +276,7 @@ class BandedRingGCM:
         return outs, BandedState(nodes_F, t_F)
 
     def scan(self, params, xs, state: BandedState, key=None,
-             remat: bool = False, dones=None, unroll: int = 1):
+             remat: bool = False, dones=None, unroll: int | None = None):
         """remat=True rematerializes each step in the backward pass
         (jax.checkpoint) — measured +13% training throughput at the flagship
         config (less activation traffic than storing per-step residuals).
@@ -284,7 +284,11 @@ class BandedRingGCM:
         finished episodes after each step (see DenseGCM.scan).
         unroll: XLA loop unrolling factor (bit-identical recurrence)."""
         del key
+        from gcm_tpu import config
         from gcm_tpu.core.graph_state import reset_where
+
+        if unroll is None:
+            unroll = config.SCAN_UNROLL
 
         def step(carry, inp):
             x, d = inp
@@ -463,9 +467,13 @@ class BandedScoredGCM:
         return mx, BandedScoredState(nodes, band, t + 1)
 
     def scan(self, params, xs, state: BandedScoredState, key=None,
-             remat: bool = False, dones=None, unroll: int = 1):
+             remat: bool = False, dones=None, unroll: int | None = None):
         del key
+        from gcm_tpu import config
         from gcm_tpu.core.graph_state import reset_where
+
+        if unroll is None:
+            unroll = config.SCAN_UNROLL
 
         def step(carry, inp):
             x, d = inp

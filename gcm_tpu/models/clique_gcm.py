@@ -121,11 +121,15 @@ class CliqueGCM:
         return mx, BandedState(nodes, t + 1)
 
     def scan(self, params, xs, state: BandedState, key=None,
-             remat: bool = False, dones=None, unroll: int = 1):
+             remat: bool = False, dones=None, unroll: int | None = None):
         """Stepwise recurrence (see DenseGCM.scan for dones/unroll
         semantics)."""
         del key
+        from gcm_tpu import config
         from gcm_tpu.core.graph_state import reset_where
+
+        if unroll is None:
+            unroll = config.SCAN_UNROLL
 
         def step(carry, inp):
             x, d = inp

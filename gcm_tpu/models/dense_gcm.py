@@ -35,7 +35,7 @@ from gcm_tpu.core.graph_state import (
 
 
 def _scan_with_resets(core, params, xs, state, key=None, dones=None,
-                      remat=False, unroll=1):
+                      remat=False, unroll=None):
     """Shared lax.scan recurrence over [B, T, F] with optional per-step
     episode-boundary resets (dones [B, T]); used by every stepwise core.
     remat=True rematerializes each step in the backward pass
@@ -47,7 +47,12 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     unroll=K unrolls K loop iterations per XLA while-loop step (lax.scan
     unroll=) — bit-identical recurrence, lets XLA fuse across steps and
     amortize per-op overhead in the loop body (the scan_breakdown.py
-    overhead-dominated regime)."""
+    overhead-dominated regime). unroll=None takes config.SCAN_UNROLL (the
+    measured default; tunable via GCM_TUNE_FILE)."""
+    from gcm_tpu import config
+
+    if unroll is None:
+        unroll = config.SCAN_UNROLL
     T = xs.shape[1]
     keys = None if key is None else jax.random.split(key, T)
     xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, F]
@@ -182,7 +187,7 @@ class DenseGCM:
     def scan(self, params, xs: Float[Array, "B T F"],
              state: DenseGraphState, key=None,
              dones: Bool[Array, "B T"] | None = None, remat: bool = False,
-             unroll: int = 1):
+             unroll: int | None = None):
         """Run the recurrence over a whole trajectory with lax.scan.
 
         xs: [B, T, F] (time axis scanned). Returns (beliefs [B, T, F_out],

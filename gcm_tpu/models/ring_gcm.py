@@ -281,7 +281,7 @@ class RingDenseGCM:
         return mx, RingGraphState(nodes, adj, weights, t + 1)
 
     def scan(self, params, xs, state: RingGraphState, key=None, dones=None,
-             remat=False, unroll=1):
+             remat=False, unroll=None):
         """dones: optional [B, T] episode terminations — wipes the memory of
         finished episodes after each step (see DenseGCM.scan). remat/unroll:
         see DenseGCM.scan."""

@@ -342,14 +342,17 @@ class SparseGCM:
             raise Exception("Overflow")
 
     def scan(self, params, xs, state: SparseGraphState, key=None, dones=None,
-             unroll: int = 1):
+             unroll: int | None = None):
         """Step the sparse core one timestep at a time over xs [B, T, F]
         (t=1 windows) under lax.scan — the step-by-step execution mode of the
         reference parity suite (tests/test_sparse_gcm.py:349-540).
         dones: optional [B, T] — resets finished episodes' memory after each
         step (see DenseGCM.scan). unroll: see DenseGCM.scan."""
+        from gcm_tpu import config
         from gcm_tpu.core.graph_state import reset_where
 
+        if unroll is None:
+            unroll = config.SCAN_UNROLL
         B, T_len, F = xs.shape
         taus1 = jnp.ones((B,), jnp.int32)
         keys = None if key is None else jax.random.split(key, T_len)
