@@ -338,13 +338,22 @@ class GCMActorCritic:
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
             else jnp.zeros((B, T), jnp.int32))
-        if key is None and getattr(self.core, "window", None) is not None \
-                and getattr(self.core, "direction", "forward") == "forward":
+        use_window = (key is None
+                      and getattr(self.core, "window", None) is not None
+                      and getattr(self.core, "direction", "forward")
+                      == "forward")
+        if use_window and hasattr(self.core, "window_profitable"):
+            # measured per-core/backend dispatch (BASELINE.md round 3: the
+            # clique window LOSES to its scan on TPU while winning on CPU;
+            # the banded window wins everywhere)
+            use_window = self.core.window_profitable()
+        if use_window:
             # fast cores (banded/clique): scan-free whole-trajectory
             # forward, output-identical to scan (bitwise for the banded
             # stencils, test_banded_gcm.py::TestWindowParity; within float-
             # reassociation ULPs for the clique, test_clique_gcm.py) and
-            # measured far faster — the training-side win of these designs
+            # measured faster where dispatched — the training-side win of
+            # these designs
             beliefs, state = self.core.window(params["core"], x, state,
                                               dones=dones)
         else:
