@@ -511,8 +511,11 @@ def main():
     spmm = bench_spmm()
     dense_edge = bench_dense_edge()
     clique = bench_clique()
-    clique_win = bench_clique(window=True)
-    clique_win_proj = bench_clique(window=True, impl="proj")
+    # clique window() variants dropped from the headline matrix round 4: the
+    # path is gated OFF on TPU (CliqueGCM.window_profitable — loses 5-11x to
+    # its own scan, MEASURE_r3/clique_window.log), so benching it here
+    # measured a path the wrappers never take. benchmarks/clique_window.py
+    # still measures all variants on demand.
     euclid = bench_distance("euclidean")
     cosine = bench_distance("cosine")
     spatial = bench_distance("spatial")
@@ -533,8 +536,6 @@ def main():
         "spmm_edges_per_s": round(spmm),
         "dense_edge_n512_timesteps_per_s": round(dense_edge),
         "clique_n512_timesteps_per_s": round(clique),
-        "clique_window_n512_timesteps_per_s": round(clique_win),
-        "clique_window_proj_n512_timesteps_per_s": round(clique_win_proj),
         "euclidean_timesteps_per_s": round(euclid),
         "cosine_timesteps_per_s": round(cosine),
         "spatial_timesteps_per_s": round(spatial),

@@ -47,9 +47,9 @@ def clique_fn(N, mode):
 def main():
     results = {}
     for N in (128, 512):
-        for mode in ("scan", "gather", "proj"):
+        for mi, mode in enumerate(("scan", "gather", "proj")):
             rate, slope = slope_rate(clique_fn(N, mode), 64, 192,
-                                     seed=300 + N + len(mode))
+                                     seed=300 + N + mi)
             rec = {"timesteps_per_s": round(rate),
                    "us_per_step": round(slope * 1e6, 3)}
             results[f"clique_N{N}_{mode}"] = rec

@@ -199,6 +199,13 @@ class BandedRingGCM:
         mx = h_feats[b_idx, p]
         return mx, BandedState(nodes, t + 1)
 
+    def window_profitable(self) -> bool:
+        """Measured dispatch gate for the wrappers' whole-trajectory call:
+        the banded stencil `window()` beats its scan on every backend and
+        shape measured (BASELINE.md round 3: 102M ts/s vs 5.0M scan on TPU
+        v5e at B=32/N=128) -- always profitable."""
+        return True
+
     # -- whole-trajectory parallel forward -----------------------------------
     def _stencil_ages(self):
         """Ages of raw observations the output (age 0) depends on, layer by
@@ -493,6 +500,13 @@ class BandedScoredGCM:
                 step, state, (xs_t, jnp.swapaxes(dones, 0, 1)),
                 unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state
+
+    def window_profitable(self) -> bool:
+        """Measured dispatch gate for the wrappers' whole-trajectory call:
+        the banded stencil `window()` beats its scan on every backend and
+        shape measured (BASELINE.md round 3: 102M ts/s vs 5.0M scan on TPU
+        v5e at B=32/N=128) -- always profitable."""
+        return True
 
     # -- whole-trajectory parallel forward -----------------------------------
     def _stencil_ages(self):

@@ -150,6 +150,19 @@ class CliqueGCM:
                 unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state
 
+    def window_profitable(self) -> bool:
+        """Measured dispatch gate for the wrappers' whole-trajectory call.
+
+        Unlike the banded stencil, the clique `window()` must materialize a
+        [B*T, N, F] slot-content tensor (the receptive field is ALL alive
+        nodes, not a bounded hop set), so its HBM traffic is T x the scan's
+        working set. Measured on TPU v5e it LOSES to its own scan at every
+        point (MEASURE_r3/clique_window.log: 949k-1.36M vs 4.62M ts/s at
+        N=128; 209-302k vs 2.35M at N=512), while on the CPU backend the
+        batched form wins (scan dispatch overhead dominates there). Dispatch
+        accordingly: scan on TPU, window elsewhere."""
+        return jax.default_backend() != "tpu"
+
     # -- whole-trajectory parallel forward -----------------------------------
     def _prefix_agg(self, feats_seq, feats_old, t0, t_eff, horizon, N):
         """Layer-0 alive-masked aggregate A0 [B, T, F] via prefix sums —

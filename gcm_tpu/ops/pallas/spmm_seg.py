@@ -17,8 +17,12 @@ within each bucket; per 128-edge chunk the kernel
      boundary tables are precomputed by `bucket_edges_segments`).
 
 Per 128 edges: 3 lane gathers + 1 cumsum + O(1) VPU algebra — O(E*F) work,
-exact f32 (no bf16 one-hot matmul). All gathers read 128-lane tables (the
-only take_along_axis form Mosaic compiles; wider tables fail).
+exact f32 (no bf16 one-hot matmul). "Exact f32" means dtype-exact: every
+add is f32 with no low-precision intermediates. It is NOT order-identical
+to a sequential per-segment sum — the Hillis-Steele doubling scan below
+reassociates the additions, so segment sums can differ from a sequential
+jnp.cumsum in final ULPs. All gathers read 128-lane tables (the only
+take_along_axis form Mosaic compiles; wider tables fail).
 
 A sink whose edges span chunk boundaries accumulates partial sums across the
 chunk grid dimension (out block revisited; sorted order makes every chunk's

@@ -255,6 +255,43 @@ class TestCliqueCoreWrapper:
             make_policy(env, core="clique",
                         edge_selectors=TemporalBackedge([1]))
 
+    def test_clique_window_gated_off_on_tpu(self, monkeypatch):
+        """Measured dispatch (MEASURE_r3/clique_window.log): the clique
+        window() loses 5-11x to its own scan on TPU, so on the TPU backend
+        the wrapper's whole-trajectory call must take the scan path; on CPU
+        it takes window(). The banded cores' window wins everywhere."""
+        from gcm_tpu.edges.dense import DenseEdge
+        from gcm_tpu.models.banded_gcm import BandedRingGCM, BandedScoredGCM
+
+        env = RecallEnv()
+        clique = make_policy(env, core="clique", edge_selectors=DenseEdge())
+        cp = clique.init(jax.random.PRNGKey(0))
+        B, T = 2, 6
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+
+        assert clique.core.window_profitable()  # CPU backend in tests
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert not clique.core.window_profitable()
+        # banded cores stay profitable on every backend
+        assert BandedRingGCM.window_profitable(object())
+        assert BandedScoredGCM.window_profitable(object())
+
+        calls = []
+        real_scan, real_window = clique.core.scan, clique.core.window
+        monkeypatch.setattr(
+            clique.core, "scan",
+            lambda *a, **k: calls.append("scan") or real_scan(*a, **k))
+        monkeypatch.setattr(
+            clique.core, "window",
+            lambda *a, **k: calls.append("window") or real_window(*a, **k))
+        clique(cp, obs, clique.initial_state(B))
+        assert calls == ["scan"]
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        calls.clear()
+        clique(cp, obs, clique.initial_state(B))
+        assert calls == ["window"]
+
 
 class TestTrainerOptKnobs:
     def test_max_grad_norm_clips(self):
