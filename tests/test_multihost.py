@@ -1,0 +1,69 @@
+"""Multi-host (2-process) jax.distributed test — exercises
+gcm_tpu.parallel.distributed for real (VERDICT r3 missing item 2 / N5).
+
+The reference has nothing to match (SURVEY.md §5.8: no distributed support);
+this validates the new-design multi-host path on CPU: two OS processes, each
+owning 2 virtual devices, connect via `initialize_multihost` (coordinator on
+localhost), build `global_mesh`, and run one dp-sharded supervised GCM update
+whose gradient all-reduce crosses the process boundary (the DCN analog).
+Both processes must produce the SAME updated parameters as a single-process
+run on the full batch — gradient averaging over dp is exact.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_update_matches_single_process():
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multihost_worker.py")
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # single-process reference on the full batch (2 virtual devices here too,
+    # via conftest's 8-device XLA flag — mesh irrelevant without sharding)
+    from tests.multihost_common import (
+        build_model_and_data, updated_param_checksum)
+
+    model, params, xs, ys = build_model_and_data()
+    want_checksum, want_gnorm = updated_param_checksum(model, params, xs, ys)
+
+    for rec in outs:
+        np.testing.assert_allclose(rec["checksum"], want_checksum,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(rec["grad_norm"], want_gnorm, rtol=1e-6)
+    # both processes computed identical replicated updates
+    assert outs[0]["checksum"] == outs[1]["checksum"]
