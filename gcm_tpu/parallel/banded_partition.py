@@ -136,7 +136,7 @@ def banded_scan_sharded(model: BandedRingGCM, mesh: Mesh, axis: str = "sp"):
         local_scan, mesh=mesh,
         in_specs=(P(), P(), P(None, axis, None), P()),
         out_specs=(P(), P(None, axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def scan(params, xs, state: BandedState):
@@ -262,7 +262,7 @@ def banded_scored_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
         local_scan, mesh=mesh,
         in_specs=(P(), P(), P(None, axis, None), P(None, axis, None), P()),
         out_specs=(P(), P(None, axis, None), P(None, axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def scan(params, xs, state: BandedScoredState):
@@ -347,7 +347,7 @@ def clique_scan_sharded(model, mesh: Mesh, axis: str = "sp"):
         local_scan, mesh=mesh,
         in_specs=(P(), P(), P(None, axis, None), P()),
         out_specs=(P(), P(None, axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def scan(params, xs, state: BandedState):
