@@ -1,0 +1,131 @@
+"""State-churn fixes on the real TPU (VERDICT round-3 item 3).
+
+The round-3 trace blamed the dense/ring scan gap on whole-[B,N,N] state
+rewrites (one dynamic-update-slice = 31% of step time, carry copies = 13%).
+Round 4 ships two structural fixes; this measures them:
+
+- dense core: wrap_overflow as slice+pad gather (one fused select) instead
+  of scatter+scatter+roll (graph_state.py::dense_wrap_overflow).
+- ring core: config.RING_FUSED_STEP — eviction + every selector write
+  composed into ONE pointwise adjacency rewrite (ring_gcm.py::_call_fused),
+  bitwise-identical (tests/test_ring_gcm.py::TestFusedStep).
+
+Slope-timed like bench.py (distinct inputs, scalar sync, T_hi−T_lo slope).
+Prints one JSON line per variant; winners flip defaults + BASELINE.md gets
+the numbers either way.
+
+Run: python benchmarks/state_churn.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from scan_breakdown import B, HID, N, OBS, slope_rate  # noqa: E402
+
+
+def dense_scan_fn(unroll):
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
+def ring_model():
+    from gcm_tpu.edges.temporal import TemporalBackedge
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    return RingDenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                        edge_selectors=TemporalBackedge([1]), graph_size=N)
+
+
+def ring_scan_fn(unroll):
+    model = ring_model()
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
+def ring_train_fn(unroll):
+    """fwd+bwd: grad of an L2 loss through the scan (training shape)."""
+    model = ring_model()
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def loss(p, xs):
+        outs, _ = model.scan(p, xs, state0, unroll=unroll)
+        return jnp.sum(outs ** 2)
+
+    def fn(xs, T):
+        g = jax.grad(loss)(params, xs)
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g))
+
+    return fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gcm_tpu import config
+
+    results = {}
+
+    def record(name, rate, slope):
+        results[name] = {"timesteps_per_s": round(rate),
+                         "us_per_step": round(slope * 1e6, 3)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    # dense core with the slice+pad wraparound (r3 baseline: 1.40M @ u4)
+    rate, slope = slope_rate(dense_scan_fn(4), *args.t_dense, seed=71)
+    record("dense_slicepad_u4", rate, slope)
+
+    # ring: unfused vs fused, u1 and u4 (r3 baseline: 1.80M @ u4)
+    for fused in (False, True):
+        config.RING_FUSED_STEP = fused
+        tag = "fused" if fused else "unfused"
+        for unroll in (1, 4):
+            rate, slope = slope_rate(ring_scan_fn(unroll), *args.t_dense,
+                                     seed=81 + unroll + (7 if fused else 0))
+            record(f"ring_{tag}_u{unroll}", rate, slope)
+    # training through the fused step (r3 dense fwd_bwd baseline: 781k)
+    config.RING_FUSED_STEP = True
+    rate, slope = slope_rate(ring_train_fn(4), *args.t_dense, seed=97)
+    record("ring_fused_train_u4", rate, slope)
+    config.RING_FUSED_STEP = False
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                      "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,16 @@ PALLAS_SPMM_MIN_WORK = 16_384  # E * N threshold
 # +24% merged-proj interaction both failed to reproduce (artifacts).
 SCAN_UNROLL: int = 4
 
+# Ring core fused step: compose slot eviction + every selector's row/column
+# write into ONE elementwise [B,N,N] adjacency rewrite per step, instead of
+# the 3-4 scatter/dynamic-update-slice rewrites the round-3 trace showed
+# dominating the scan (31% one DUS + 13% carry copies; MEASURE_r3). The
+# rewrite is pointwise in the old adjacency, so XLA can alias the scan-carry
+# buffer in place. Bit-identical to the unfused path
+# (tests/test_ring_gcm.py::TestFusedStep); default pending TPU measurement
+# (benchmarks/state_churn.py).
+RING_FUSED_STEP: bool = False
+
 # Grid-free edge emission gate: window-space scoring wins when the graph is
 # at least EMIT_WINDOW_FACTOR x the effective window (measured crossover,
 # edges/sparse_learned.py::emit_profitable; benchmarks/gate_hygiene.py
@@ -58,7 +68,7 @@ EMIT_WINDOW_FACTOR = 4
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
-                 "EMIT_WINDOW_FACTOR", "SCAN_UNROLL")
+                 "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP")
 
 
 def apply_tuning(overrides: dict) -> None:

@@ -82,16 +82,18 @@ def dense_wrap_overflow(state: DenseGraphState) -> DenseGraphState:
     over = num_nodes + 1 > N  # [B]
     om = over[:, None, None]
 
-    nodes_w = jnp.roll(nodes.at[:, 0].set(0.0), -1, axis=1)
+    # zero-row/col-0-then-roll(-1) == slice-off-the-first-row/col-and-pad:
+    # a pure gather XLA fuses into the select, vs the reference's
+    # scatter+scatter+roll (3 whole-array rewrites; the round-3 trace showed
+    # this stage costing ~10 us/step of the 26 us dense scan step).
+    nodes_w = jnp.pad(nodes[:, 1:], ((0, 0), (0, 1), (0, 0)))
     nodes = jnp.where(om, nodes_w, nodes)
 
-    adj_z = adj.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
-    adj_w = jnp.roll(adj_z, (-1, -1), axis=(1, 2))
+    adj_w = jnp.pad(adj[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
     adj = jnp.where(om, adj_w, adj)
 
     if weights.size > 0:
-        w_z = weights.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
-        w_w = jnp.roll(w_z, (-1, -1), axis=(1, 2))
+        w_w = jnp.pad(weights[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
         weights = jnp.where(om, w_w, weights)
 
     num_nodes = jnp.where(over, num_nodes - 1, num_nodes)

@@ -177,13 +177,90 @@ class RingDenseGCM:
 
         raise NotImplementedError(f"ring mode: unsupported selector {sel}")
 
+    # -- selector dispatch, row/column-vector form (fused step) -------------
+    def _selector_row_col(self, sel, params, nodes, row, col, p, t, key):
+        """Row/column form of _apply_selector: returns the [B, N] contents
+        of adjacency row p and column p after applying `sel` on top of the
+        running (row, col). Same values _apply_selector writes into the
+        [B, N, N] adjacency — the fused step (config.RING_FUSED_STEP)
+        materializes them in ONE pointwise rewrite instead of per-selector
+        scatters."""
+        B, N = nodes.shape[0], nodes.shape[1]
+        b_idx = jnp.arange(B)
+        iota = jnp.arange(N)[None, :]
+        _, past_count, age, valid_past = self._geometry(t)
+
+        if isinstance(sel, EdgeChain):
+            for s, sp in zip(sel.selectors, params):
+                sub = None
+                if key is not None:
+                    key, sub = jax.random.split(key)
+                row, col = self._selector_row_col(s, sp, nodes, row, col,
+                                                  p, t, sub)
+            return row, col
+
+        if isinstance(sel, TemporalBackedge):
+            if sel.learned:
+                row = row + self._learned_temporal_update(sel, params, p, t,
+                                                          key)
+                return row, col
+            for hop in sel.hops:
+                ok = past_count >= hop
+                hit = (iota == jnp.mod(p - hop, N)[:, None]) & ok[:, None]
+                if sel.direction in ("forward", "both"):
+                    row = jnp.where(hit, 1.0, row)
+                if sel.direction in ("backward", "both"):
+                    col = jnp.where(hit, 1.0, col)
+            return row, col
+
+        if isinstance(sel, DenseEdge):
+            row = jnp.where(valid_past | (age == 0), 1.0, row)
+            col = jnp.where(valid_past, 1.0, col)
+            return row, col
+
+        if isinstance(sel, Distance):
+            scored = nodes / params["dist_param"] if sel.learned else nodes
+            dists = sel.dist_fn(scored[b_idx, p], scored)  # [B, N]
+            mask = (dists < sel.max_distance) & valid_past
+            row = jnp.where(mask, 1.0, row)
+            if sel.bidirectional:
+                col = jnp.where(mask, 1.0, col)
+            return row, col
+
+        if isinstance(sel, LearnedEdge):
+            curr = nodes[b_idx, p]
+            net_in = jnp.concatenate(
+                [jnp.broadcast_to(curr[:, None, :], nodes.shape), nodes],
+                axis=-1,
+            )
+            logits = sel.edge_network(params["edge_network"], net_in)[..., 0]
+            shaped = jnp.where(valid_past, logits, -1e10)
+            if sel.deterministic:
+                edges = spardmax(shaped, axis=-1)
+            else:
+                cutoff = 1.0 / (1 + sel.num_edge_samples)
+                soft = gumbel_softmax(key, shaped, axis=-1)
+                edges = ste(soft - cutoff)
+            row = jnp.where(valid_past, ste(edges + row), row)
+            return row, col
+
+        raise NotImplementedError(
+            f"ring fused mode: unsupported selector {sel}")
+
     def _learned_temporal(self, sel, params, adj, p, t, key):
+        """Learned TemporalBackedge in slot space; .at-write form (see
+        _learned_temporal_update for the math)."""
+        b_idx = jnp.arange(adj.shape[0])
+        update = self._learned_temporal_update(sel, params, p, t, key)
+        return adj.at[b_idx, p, :].add(update)
+
+    def _learned_temporal_update(self, sel, params, p, t, key):
         """Learned TemporalBackedge in slot space (reference
         temporal.py:51-70): the window parameter is indexed by the LOGICAL
         row (0 = oldest in buffer), so slot s reads window[r(s)] where
-        r(s) = count-1-age(s); mask to r(s) < min(past_count, W)."""
-        B, N = adj.shape[0], adj.shape[1]
-        b_idx = jnp.arange(B)
+        r(s) = count-1-age(s); mask to r(s) < min(past_count, W). Returns
+        the [B, N] additive update to adjacency row p."""
+        N = self.graph_size
         _, past_count, age, valid_past = self._geometry(t)
         W = sel.learning_window
         window = params["window"]  # [W]
@@ -202,8 +279,7 @@ class RingDenseGCM:
                             for k in keys])
         mask = mask * cand.astype(mask.dtype)
         has_nodes = (past_count > 0)[:, None]
-        update = jnp.where(has_nodes, mask, 0.0)
-        return adj.at[b_idx, p, :].add(update)
+        return jnp.where(has_nodes, mask, 0.0)
 
     # -- positional encoding with logical indices --------------------------
     def _positional(self, params, x, t):
@@ -240,6 +316,10 @@ class RingDenseGCM:
             from gcm_tpu.utils.validation import check_ring_inputs
 
             check_ring_inputs(x, state, self.graph_size)
+        from gcm_tpu import config
+
+        if config.RING_FUSED_STEP:
+            return self._call_fused(params, x, state, key)
         nodes, adj, weights, t = state
         B = x.shape[0]
         b_idx = jnp.arange(B)
@@ -275,6 +355,64 @@ class RingDenseGCM:
             adj, weights = self._apply_selector(
                 self.aux_edge_selectors, params.get("aux_edge_selectors"),
                 enc, adj, weights, p, t, sub)
+
+        node_feats = self.gnn(params["gnn"], dirty_nodes, adj, weights)
+        mx = node_feats if self.pooled else node_feats[b_idx, p]
+        return mx, RingGraphState(nodes, adj, weights, t + 1)
+
+    def _call_fused(self, params, x, state: RingGraphState, key=None):
+        """Single-rewrite step (config.RING_FUSED_STEP): the insert is one
+        pointwise [B,N,F] select and the eviction + every selector write is
+        ONE pointwise [B,N,N] select — adj_new[b,i,j] depends only on
+        adj[b,i,j] and the [B,N] row/col vectors, so XLA can update the
+        scan-carry buffer in place (the round-3 trace showed the unfused
+        step's repeated rewrites defeating that aliasing). Bit-identical to
+        the unfused step."""
+        nodes, adj, weights, t = state
+        B = x.shape[0]
+        N = self.graph_size
+        b_idx = jnp.arange(B)
+        p, _, _, _ = self._geometry(t)
+        i_eq_p = jnp.arange(N)[None, :] == p[:, None]  # [B, N]
+
+        nodes = jnp.where(i_eq_p[..., None], x[:, None, :].astype(nodes.dtype),
+                          nodes)
+        dirty_nodes = nodes
+
+        row = jnp.zeros((B, N), adj.dtype)  # evicted row p content
+        col = jnp.zeros((B, N), adj.dtype)  # evicted column p content
+        if self.edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            row, col = self._selector_row_col(
+                self.edge_selectors, params.get("edge_selectors"),
+                dirty_nodes, row, col, p, t, sub)
+
+        if self.preprocessor is not None:
+            dirty_nodes = self.preprocessor(params["preprocessor"],
+                                            dirty_nodes)
+
+        if self.aux_edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            enc = dirty_nodes
+            if self.positional_encoder is not None:
+                enc = self._positional(params, dirty_nodes, t)
+            row, col = self._selector_row_col(
+                self.aux_edge_selectors, params.get("aux_edge_selectors"),
+                enc, row, col, p, t, sub)
+
+        # the ONE adjacency rewrite: row p <- row, column p <- col ((p,p)
+        # comes from row, matching _apply_selector's row-write-then-col-read
+        # order), everything else unchanged
+        adj = jnp.where(i_eq_p[:, :, None], row[:, None, :],
+                        jnp.where(i_eq_p[:, None, :], col[:, :, None], adj))
+        if weights.size > 0:
+            wz = jnp.zeros((), weights.dtype)
+            weights = jnp.where(i_eq_p[:, :, None] | i_eq_p[:, None, :], wz,
+                                weights)
 
         node_feats = self.gnn(params["gnn"], dirty_nodes, adj, weights)
         mx = node_feats if self.pooled else node_feats[b_idx, p]

@@ -133,3 +133,77 @@ class TestRingLearnedDistance:
     def test_learned_euclidean_parity(self):
         d, r = run_pair(lambda: EuclideanEdge(max_distance=2.0, learned=True))
         assert np.allclose(d, r, atol=1e-5)
+
+
+class TestFusedStep:
+    """config.RING_FUSED_STEP composes eviction + selector writes into one
+    pointwise adjacency rewrite; it must be BITWISE identical to the unfused
+    step (same values, different write schedule) for every supported
+    selector, through wraparound, including the full state."""
+
+    def _pair_states(self, selector_fn, B=3, N=6, F=5, T=20, seed=0, **kw):
+        from gcm_tpu import config
+
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        ring = RingDenseGCM(gnn, edge_selectors=selector_fn(),
+                            graph_size=N, **kw)
+        params = ring.init(jax.random.PRNGKey(seed))
+        xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, F))
+        assert not config.RING_FUSED_STEP
+        outs_u, st_u = ring.scan(params, xs, ring.initial_state(B, F))
+        config.RING_FUSED_STEP = True
+        try:
+            outs_f, st_f = ring.scan(params, xs, ring.initial_state(B, F))
+        finally:
+            config.RING_FUSED_STEP = False
+        return (np.array(outs_u), jax.tree_util.tree_map(np.array, st_u),
+                np.array(outs_f), jax.tree_util.tree_map(np.array, st_f))
+
+    def _assert_bitwise(self, selector_fn, **kw):
+        ou, su, of, sf = self._pair_states(selector_fn, **kw)
+        np.testing.assert_array_equal(ou, of)
+        for a, b in zip(su, sf):
+            np.testing.assert_array_equal(a, b)
+
+    def test_temporal(self):
+        self._assert_bitwise(lambda: TemporalBackedge([1]))
+
+    def test_temporal_multihop_both(self):
+        self._assert_bitwise(
+            lambda: TemporalBackedge([1, 3], direction="both"))
+
+    def test_dense_edge(self):
+        self._assert_bitwise(DenseEdge)
+
+    def test_euclidean(self):
+        self._assert_bitwise(lambda: EuclideanEdge(max_distance=2.0))
+
+    def test_learned_deterministic(self):
+        self._assert_bitwise(
+            lambda: LearnedEdge(input_size=5, deterministic=True))
+
+    def test_learned_temporal(self):
+        self._assert_bitwise(
+            lambda: TemporalBackedge([1], learned=True, learning_window=5,
+                                     deterministic=True), N=6, T=15)
+
+    def test_chain(self):
+        self._assert_bitwise(lambda: EdgeChain([TemporalBackedge([1]),
+                                                TemporalBackedge([2])]))
+
+    def test_edge_weights_state(self):
+        self._assert_bitwise(lambda: TemporalBackedge([1]),
+                             edge_weights=True)
+
+    def test_fused_matches_dense_gcm(self):
+        """Fused ring vs the roll-based DenseGCM (allclose, like
+        TestRingParity)."""
+        from gcm_tpu import config
+
+        config.RING_FUSED_STEP = True
+        try:
+            d, r = run_pair(lambda: TemporalBackedge([1]), N=6, T=14)
+        finally:
+            config.RING_FUSED_STEP = False
+        assert np.allclose(d, r, atol=1e-5)
