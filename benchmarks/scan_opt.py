@@ -64,11 +64,51 @@ def banded_scan_fn(unroll):
     return fn
 
 
+def sparse_scan_fn(unroll):
+    from gcm_tpu.models.presets import readme_sparse_gcm
+
+    model = readme_sparse_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
+def banded_scored_scan_fn(unroll):
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.models.banded_gcm import BandedScoredGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    model = BandedScoredGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                            distance=EuclideanEdge(1.0), window=8,
+                            graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
     ap.add_argument("--t-banded", type=int, nargs=2, default=(128, 2176))
+    ap.add_argument("--sparse-unroll", action="store_true",
+                    help="measure unroll on the two cores SCAN_UNROLL=4 "
+                         "defaulted without measurement (ADVICE r3): "
+                         "SparseGCM and BandedScoredGCM, unroll 1 vs 4, "
+                         "two seeds each")
     ap.add_argument("--confirm", action="store_true",
                     help="variance check of the first run's winners: banded "
                          "unroll 1/4/8(+merged) and the missing 4+merged "
@@ -85,6 +125,24 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.sparse_unroll:
+        for unroll in (1, 4):
+            for rep in (0, 1):
+                rate, slope = slope_rate(sparse_scan_fn(unroll),
+                                         *args.t_dense,
+                                         seed=100 * rep + 11 + unroll)
+                record(f"sparse_u{unroll}_r{rep}", rate, slope)
+        for unroll in (1, 4):
+            for rep in (0, 1):
+                rate, slope = slope_rate(banded_scored_scan_fn(unroll),
+                                         *args.t_dense,
+                                         seed=100 * rep + 17 + unroll)
+                record(f"banded_scored_u{unroll}_r{rep}", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     if args.confirm:
         for merged in (False, True):

@@ -40,6 +40,14 @@ MERGED_CONV_PROJ: bool = False
 PALLAS_SPMM_MAX_NODES = 1024
 PALLAS_SPMM_MIN_WORK = 16_384  # E * N threshold
 
+# SpMM one-hot kernel accuracy/speed point: 'default' rides the environment
+# matmul precision (single-pass bf16 on this TPU: fastest, ~5e-2 max err —
+# NOTE the env default applies to XLA's f32 matmuls too, so this is not a
+# precision downgrade vs the fallback), 'f32x2' is the error-compensated
+# 2-pass bf16 middle point (~1e-4), 'highest' the 3-pass exact form.
+# Measured in BASELINE.md's SpMM variant table (benchmarks/spmm_variants.py).
+SPMM_PRECISION: str = "default"
+
 # lax.scan unroll factor used by every stepwise core when the caller passes
 # unroll=None (bit-identical recurrence; parity pinned in
 # tests/test_scan_opt.py). Measured round 3 (benchmarks/scan_opt.py + the
@@ -68,7 +76,8 @@ EMIT_WINDOW_FACTOR = 4
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
-                 "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP")
+                 "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
+                 "SPMM_PRECISION")
 
 
 def apply_tuning(overrides: dict) -> None:

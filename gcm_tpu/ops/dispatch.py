@@ -21,7 +21,8 @@ def _spmm_forward(x, edges, weights):
             and edges.shape[-1] * x.shape[1] >= config.PALLAS_SPMM_MIN_WORK):
         from gcm_tpu.ops.pallas.spmm import spmm_edge_list
 
-        return spmm_edge_list(x, edges, weights)
+        return spmm_edge_list(x, edges, weights,
+                              precision=config.SPMM_PRECISION)
     return edge_scatter_add(x, edges, weights)
 
 

@@ -65,6 +65,23 @@ class TestSpMM:
         got = spmm_edge_list(x, edges, w)
         assert np.allclose(np.array(got), 0.0)
 
+    def test_precision_modes_match_fallback(self):
+        """f32x2 (error-compensated 2-pass bf16) and highest must agree with
+        the exact scatter fallback to their respective tolerances (the
+        precision knob of config.SPMM_PRECISION)."""
+        B, N, F, E = 3, 16, 8, 24
+        x = jax.random.normal(jax.random.PRNGKey(4), (B, N, F))
+        sink = jax.random.randint(jax.random.PRNGKey(5), (B, E), 0, N)
+        src = jax.random.randint(jax.random.PRNGKey(6), (B, E), 0, N)
+        edges = jnp.stack([sink, src], axis=1).astype(jnp.int32)
+        edges = edges.at[:, :, -4:].set(-1)
+        w = jax.random.uniform(jax.random.PRNGKey(7), (B, E))
+        want = np.array(edge_scatter_add(x, edges, w))
+        got_x2 = np.array(spmm_edge_list(x, edges, w, precision="f32x2"))
+        assert np.allclose(got_x2, want, atol=2e-3)
+        got_hi = np.array(spmm_edge_list(x, edges, w, precision="highest"))
+        assert np.allclose(got_hi, want, atol=1e-4)
+
 
 class TestSDDMM:
     def test_euclidean_matches_fallback(self):
