@@ -84,9 +84,54 @@ def tick_latency(server, n_req, ticks=TICKS, churn=False, seed=0):
     return float(np.median(times))
 
 
+def device_tick_rate(server, n_req, iters_lo=8, iters_hi=72, seed=0):
+    """DEVICE time per tick, tunnel-RTT-free (VERDICT r3 item 10): chain the
+    server's jitted masked step inside ONE jit over a scan of per-tick obs
+    batches, slope-time over iteration count with a scalar sync — the same
+    discipline bench.py uses. This prices the SessionServer's compute claim
+    (ticks/s/chip) separately from the per-call host round trip that
+    tick_latency honestly includes."""
+    import functools
+
+    rng = np.random.default_rng(seed)
+    base = [f"s{i}" for i in range(n_req)]
+    for _ in range(3):  # fill the pool so slots 0..n_req-1 are allocated
+        server.step({s: rng.standard_normal(OBS) for s in base})
+    active = jnp.arange(CAP) < n_req
+    params, state = server.params, server.state
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(params, state, obs_seq, active, iters):
+        def body(st, obs):
+            out, st2 = server._step(params, obs, st, active)
+            return st2, sum(jnp.sum(leaf)
+                            for leaf in jax.tree_util.tree_leaves(out))
+        _, outs = jax.lax.scan(body, state, obs_seq)
+        return jnp.sum(outs)
+
+    def measure(iters):
+        times = []
+        for i in range(4):
+            obs_seq = jnp.asarray(
+                rng.standard_normal((iters, CAP, OBS)), jnp.float32)
+            t0 = time.perf_counter()
+            _ = float(chain(params, state, obs_seq, active, iters=iters))
+            times.append(time.perf_counter() - t0)
+        return min(times[1:]) if len(times) > 1 else times[0]
+
+    measure(iters_lo)  # compile both sizes before timing
+    measure(iters_hi)
+    slope = max(measure(iters_hi) - measure(iters_lo), 1e-9) / (
+        iters_hi - iters_lo)
+    return slope
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--device-time", action="store_true",
+                    help="also isolate device time per tick (chained jit "
+                         "scan, no per-call RTT)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -104,6 +149,16 @@ def main():
     results["belief_churn_ms"] = round(ms, 3)
     print(json.dumps({"belief_churn_ms": results["belief_churn_ms"]}),
           flush=True)
+
+    if args.device_time:
+        for n_req in (1, CAP // 4, CAP):
+            s = device_tick_rate(server, n_req, seed=n_req)
+            results[f"belief_req{n_req}_device_us"] = round(s * 1e6, 2)
+            results[f"belief_req{n_req}_device_steps_per_s"] = round(
+                n_req / s)
+            print(json.dumps(
+                {f"belief_req{n_req}_device_us":
+                 results[f"belief_req{n_req}_device_us"]}), flush=True)
 
     pserver = make_policy_server()
     ms = tick_latency(pserver, CAP // 4, seed=7) * 1e3

@@ -44,6 +44,12 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     (cheap recompute, no adjacency), but −32% on the ring core (recompute
     rebuilds the [B,N,N] adjacency) — use it for memory headroom, not
     speed, on the dense/ring cores.
+    remat may also name a selective policy instead of all-or-nothing:
+    'dots' (jax.checkpoint_policies.dots_saveable — save matmul results,
+    recompute elementwise/selector work) or 'dots_no_batch'
+    (dots_with_no_batch_dims_saveable — save only the weight-matmul
+    results, recompute the [B,·,·] products too). Measured in
+    benchmarks/bwd_breakdown.py.
     unroll=K unrolls K loop iterations per XLA while-loop step (lax.scan
     unroll=) — bit-identical recurrence, lets XLA fuse across steps and
     amortize per-op overhead in the loop body (the scan_breakdown.py
@@ -66,7 +72,15 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
         return new_state, out
 
     if remat:
-        step = jax.checkpoint(step)
+        if remat is True:
+            step = jax.checkpoint(step)
+        else:
+            policies = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }
+            step = jax.checkpoint(step, policy=policies[remat])
 
     # lax.scan can't carry None leaves in xs; build the per-case tuple
     if keys is None and dones_t is None:

@@ -208,3 +208,28 @@ class TestTuningOverrides:
         assert any("spmm" in n for n in notes2)
         # the derived overrides load through the real config path
         config.apply_tuning(tune)
+
+
+class TestRematPolicies:
+    """remat='dots'/'dots_no_batch' (selective jax.checkpoint policies) must
+    produce the same loss and gradients as remat=False — rematerialization
+    changes the backward schedule, not the math (allclose: recompute can
+    reassociate fusions)."""
+
+    @pytest.mark.parametrize("remat", [True, "dots", "dots_no_batch"])
+    def test_dense_grad_parity(self, remat):
+        model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs, _ = _traj()
+        st = model.initial_state(B, OBS)
+
+        def loss(p, r):
+            outs, _ = model.scan(p, xs, st, remat=r)
+            return jnp.sum(outs ** 2)
+
+        l0, g0 = jax.value_and_grad(loss)(params, False)
+        l1, g1 = jax.value_and_grad(loss)(params, remat)
+        assert np.allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
