@@ -18,6 +18,8 @@ run() { # name, timeout_s, cmd...
 
 # VERDICT #3: fused ring step / slice+pad wraparound
 run state_churn 2400 python benchmarks/state_churn.py
+# VERDICT #4: scan-free ring window on scored/learned selectors
+run ring_window 2400 python benchmarks/state_churn.py --window
 # ADVICE low: sparse/banded_scored unroll (never measured; SCAN_UNROLL=4
 # defaulted them unmeasured)
 run scan_unroll_sparse 2400 python benchmarks/scan_opt.py --sparse-unroll

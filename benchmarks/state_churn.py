@@ -87,10 +87,48 @@ def ring_train_fn(unroll):
     return fn
 
 
+def scored_model(kind):
+    """Ring model on the bench_distance / bench_learned_edge configs (the
+    euclidean/learned_edge headline metrics, run on the ring core so the
+    scan-free window path applies)."""
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    sel = (EuclideanEdge(max_distance=1.0) if kind == "euclidean"
+           else LearnedEdge(input_size=OBS, deterministic=True))
+    return RingDenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                        edge_selectors=sel, graph_size=N)
+
+
+def scored_fn(kind, use_window):
+    from gcm_tpu.models.ring_window import ring_window
+
+    model = scored_model(kind)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def fn(xs, T):
+        if use_window:
+            outs, _ = ring_window(model, params, xs, state0)
+        else:
+            outs, _ = model.scan(params, xs, state0)
+        return jnp.sum(outs)
+
+    return fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
+    ap.add_argument("--window", action="store_true",
+                    help="measure the scan-free ring window path vs the "
+                         "scan on the euclidean / learned-edge configs")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -103,6 +141,19 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.window:
+        for kind in ("euclidean", "learned"):
+            for use_window in (False, True):
+                tag = "window" if use_window else "scan"
+                rate, slope = slope_rate(scored_fn(kind, use_window),
+                                         *args.t_dense,
+                                         seed=141 + len(kind) + use_window)
+                record(f"ring_{kind}_{tag}", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     # dense core with the slice+pad wraparound (r3 baseline: 1.40M @ u4)
     rate, slope = slope_rate(dense_scan_fn(4), *args.t_dense, seed=71)

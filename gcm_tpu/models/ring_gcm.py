@@ -427,3 +427,23 @@ class RingDenseGCM:
 
         return _scan_with_resets(self, params, xs, state, key, dones, remat,
                                  unroll)
+
+    def window(self, params, xs, state: RingGraphState, dones=None):
+        """Scan-free whole-trajectory forward for row-only scored/learned
+        selectors (models/ring_window.py: extended-source scoring + the
+        kill-cumsum — N x fewer conv FLOPs than the scan). Output matches
+        scan to float-accumulation order (tests/test_ring_window.py).
+        Falls back to scan when the structure is unsupported (bidirectional
+        or stochastic selectors, >2 conv layers, PE/aux/pooled/weights) or
+        dones are given."""
+        from gcm_tpu.models.ring_window import ring_window, window_supported
+
+        if dones is not None or not window_supported(self):
+            return self.scan(params, xs, state, dones=dones)
+        return ring_window(self, params, xs, state)
+
+    def window_profitable(self) -> bool:
+        """Dispatch gate for the wrappers' whole-trajectory call: pending
+        TPU measurement (benchmarks/state_churn.py --window); the scan stays
+        the default until the window path is measured faster."""
+        return False
