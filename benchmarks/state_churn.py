@@ -105,14 +105,25 @@ def scored_model(kind):
                         edge_selectors=sel, graph_size=N)
 
 
-def scored_fn(kind, use_window):
+def scored_fn(kind, use_window, train=False):
     from gcm_tpu.models.ring_window import ring_window
 
     model = scored_model(kind)
     params = model.init(jax.random.PRNGKey(0))
     state0 = model.initial_state(B, OBS)
 
+    def loss(p, xs):
+        if use_window:
+            outs, _ = ring_window(model, p, xs, state0)
+        else:
+            outs, _ = model.scan(p, xs, state0)
+        return jnp.sum(outs ** 2)
+
     def fn(xs, T):
+        if train:
+            g = jax.grad(loss)(params, xs)
+            return sum(jnp.sum(leaf)
+                       for leaf in jax.tree_util.tree_leaves(g))
         if use_window:
             outs, _ = ring_window(model, params, xs, state0)
         else:
@@ -150,14 +161,24 @@ def main():
                                          *args.t_dense,
                                          seed=141 + len(kind) + use_window)
                 record(f"ring_{kind}_{tag}", rate, slope)
+        # fwd+bwd: the window's backward is also scan-free (cumsum
+        # transposes), vs the scan's sequential backward
+        for use_window in (False, True):
+            tag = "window" if use_window else "scan"
+            rate, slope = slope_rate(
+                scored_fn("euclidean", use_window, train=True),
+                *args.t_dense, seed=151 + use_window)
+            record(f"ring_euclidean_{tag}_train", rate, slope)
         print(json.dumps({"backend": jax.default_backend(),
                           "workload": f"B={B} obs={OBS} hid={HID} N={N}",
                           "results": results}), flush=True)
         return
 
     # dense core with the slice+pad wraparound (r3 baseline: 1.40M @ u4)
-    rate, slope = slope_rate(dense_scan_fn(4), *args.t_dense, seed=71)
-    record("dense_slicepad_u4", rate, slope)
+    for unroll in (1, 4):
+        rate, slope = slope_rate(dense_scan_fn(unroll), *args.t_dense,
+                                 seed=70 + unroll)
+        record(f"dense_slicepad_u{unroll}", rate, slope)
 
     # ring: unfused vs fused, u1 and u4 (r3 baseline: 1.80M @ u4)
     for fused in (False, True):
@@ -169,8 +190,10 @@ def main():
             record(f"ring_{tag}_u{unroll}", rate, slope)
     # training through the fused step (r3 dense fwd_bwd baseline: 781k)
     config.RING_FUSED_STEP = True
-    rate, slope = slope_rate(ring_train_fn(4), *args.t_dense, seed=97)
-    record("ring_fused_train_u4", rate, slope)
+    for unroll in (1, 4):
+        rate, slope = slope_rate(ring_train_fn(unroll), *args.t_dense,
+                                 seed=96 + unroll)
+        record(f"ring_fused_train_u{unroll}", rate, slope)
     config.RING_FUSED_STEP = False
 
     print(json.dumps({"backend": jax.default_backend(),

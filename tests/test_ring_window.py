@@ -144,3 +144,50 @@ class TestWindowSupported:
         xs = jnp.ones((2, 4, 5))
         with pytest.raises(AssertionError):
             ring_window(model, params, xs, model.initial_state(2, 5))
+
+
+class TestRingWindowGrad:
+    def test_grad_matches_scan(self):
+        """Training through the window: grads wrt params and inputs match
+        the scan's (the window's backward is cumsum transposes, not a
+        sequential backward scan)."""
+        from gcm_tpu.models.ring_window import ring_window
+
+        model, params = build(lambda: EuclideanEdge(2.0), pre=True)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (3, 14, 5))
+        st = model.initial_state(3, 5)
+
+        def loss(p, x, use_window):
+            f = ring_window(model, p, x, st) if use_window \
+                else model.scan(p, x, st)
+            return jnp.sum(f[0] ** 2)
+
+        gs = jax.grad(loss, argnums=(0, 1))(params, xs, False)
+        gw = jax.grad(loss, argnums=(0, 1))(params, xs, True)
+        for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gw)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_learned_selector_grad(self):
+        """Gradient flows into the LearnedEdge MLP through the window's
+        spardmax/STE path, matching the scan."""
+        from gcm_tpu.models.ring_window import ring_window
+
+        model, params = build(
+            lambda: LearnedEdge(input_size=5, deterministic=True))
+        xs = jax.random.normal(jax.random.PRNGKey(6), (2, 11, 5))
+        st = model.initial_state(2, 5)
+
+        def loss(p, use_window):
+            f = ring_window(model, p, xs, st) if use_window \
+                else model.scan(p, xs, st)
+            return jnp.sum(f[0] ** 2)
+
+        gs = jax.grad(loss)(params, False)
+        gw = jax.grad(loss)(params, True)
+        en_s = jax.tree.leaves(gs["edge_selectors"])
+        en_w = jax.tree.leaves(gw["edge_selectors"])
+        assert any(float(jnp.sum(jnp.abs(g))) > 0 for g in en_s)
+        for a, b in zip(en_s, en_w):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
