@@ -58,8 +58,9 @@ def ring_model():
                         edge_selectors=TemporalBackedge([1]), graph_size=N)
 
 
-def ring_scan_fn(unroll):
+def ring_scan_fn(unroll, adj_dtype=None):
     model = ring_model()
+    model.adj_dtype = adj_dtype
     params = model.init(jax.random.PRNGKey(0))
     state0 = model.initial_state(B, OBS)
 
@@ -188,6 +189,14 @@ def main():
             rate, slope = slope_rate(ring_scan_fn(unroll), *args.t_dense,
                                      seed=81 + unroll + (7 if fused else 0))
             record(f"ring_{tag}_u{unroll}", rate, slope)
+    # bf16 adjacency carry (bitwise-exact for 0/1 selectors): halves the
+    # dominant [B,N,N] HBM traffic of the fused step
+    config.RING_FUSED_STEP = True
+    rate, slope = slope_rate(ring_scan_fn(1, jnp.bfloat16), *args.t_dense,
+                             seed=201)
+    record("ring_fused_bf16adj_u1", rate, slope)
+    config.RING_FUSED_STEP = False
+
     # training through the fused step (r3 dense fwd_bwd baseline: 781k)
     config.RING_FUSED_STEP = True
     for unroll in (1, 4):

@@ -60,7 +60,8 @@ class RingDenseGCM:
     def __init__(self, gnn, preprocessor=None, edge_selectors=None,
                  aux_edge_selectors=None, graph_size: int = 128,
                  pooled: bool = False, positional_encoder=None,
-                 edge_weights: bool = False, validate: bool = False):
+                 edge_weights: bool = False, validate: bool = False,
+                 adj_dtype=None):
         self.gnn = gnn
         self.preprocessor = preprocessor
         self.edge_selectors = edge_selectors
@@ -70,6 +71,29 @@ class RingDenseGCM:
         self.positional_encoder = positional_encoder
         self.edge_weights = edge_weights
         self.validate = validate
+        # adj_dtype=jnp.bfloat16 halves the scan-carry HBM traffic of the
+        # dominant [B,N,N] buffer. For selectors whose edge values are
+        # exactly 0/1 (TemporalBackedge unlearned, DenseEdge, Distance,
+        # LearnedEdge via STE) bf16 storage is VALUE-EXACT — 0.0 and 1.0
+        # are representable, and the conv upcasts to the node dtype before
+        # the matmul — so beliefs are bitwise-unchanged
+        # (tests/test_ring_gcm.py::TestAdjDtype). Learned-temporal rows are
+        # fractional (spardmax probabilities) and would round: keep f32
+        # there.
+        self.adj_dtype = adj_dtype
+        if adj_dtype is not None:
+            def frac(sel):
+                if isinstance(sel, EdgeChain):
+                    return any(frac(s) for s in sel.selectors)
+                return isinstance(sel, TemporalBackedge) and sel.learned
+
+            for s in (edge_selectors, aux_edge_selectors):
+                if s is not None and frac(s):
+                    raise ValueError(
+                        "adj_dtype: learned TemporalBackedge writes "
+                        "fractional (spardmax) edge values — a narrow "
+                        "adjacency dtype would silently round them; "
+                        "keep the default f32")
 
     # params identical to DenseGCM
     def init(self, key):
@@ -86,9 +110,10 @@ class RingDenseGCM:
 
     def initial_state(self, B: int, feat: int, dtype=jnp.float32):
         N = self.graph_size
+        adt = self.adj_dtype or dtype
         return RingGraphState(
             nodes=jnp.zeros((B, N, feat), dtype),
-            adj=jnp.zeros((B, N, N), dtype),
+            adj=jnp.zeros((B, N, N), adt),
             weights=(jnp.zeros((B, N, N), dtype) if self.edge_weights
                      else jnp.zeros((0,), dtype)),
             t=jnp.zeros((B,), jnp.int32),
@@ -406,7 +431,10 @@ class RingDenseGCM:
 
         # the ONE adjacency rewrite: row p <- row, column p <- col ((p,p)
         # comes from row, matching _apply_selector's row-write-then-col-read
-        # order), everything else unchanged
+        # order), everything else unchanged. Cast keeps a narrow adj_dtype
+        # carry (0/1 values: exact).
+        row = row.astype(adj.dtype)
+        col = col.astype(adj.dtype)
         adj = jnp.where(i_eq_p[:, :, None], row[:, None, :],
                         jnp.where(i_eq_p[:, None, :], col[:, :, None], adj))
         if weights.size > 0:

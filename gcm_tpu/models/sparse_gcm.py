@@ -27,6 +27,14 @@ fixed-iteration reachability mask: max_hops rounds of sink→source
 propagation from the output nodes mark the k-hop node set, and the GNN runs
 with edges outside that set sentinel-masked — semantically identical to
 k_hop_subgraph, including the truncation regime (tests/test_max_hops.py).
+NOTE the mask reproduces the reference's *semantics*, not its *work
+reduction*: the GNN still aggregates the full padded edge list with masked
+lanes (fixed shapes — a smaller subgraph would be a dynamic shape XLA
+cannot compile). At the memory-graph sizes this library targets the masked
+lanes are bandwidth-free (the SpMM is edge-list-bounded, not
+subgraph-bounded); a workload with graph_size >> reachable-set size would
+want a gather-compacted variant (capacity-bounded node list + edge
+re-indexing) — not built, measured unnecessary at current sizes.
 
 Overflow: the reference raises (sparse_gcm.py:120-121). Inside jit we cannot
 raise; writes beyond capacity are dropped (trash row) — call

@@ -207,3 +207,42 @@ class TestFusedStep:
         finally:
             config.RING_FUSED_STEP = False
         assert np.allclose(d, r, atol=1e-5)
+
+
+class TestAdjDtype:
+    """adj_dtype=bfloat16 carries the [B,N,N] adjacency in half the HBM.
+    For 0/1-valued selectors the stored values are exactly representable and
+    the conv upcasts before the matmul, so beliefs are BITWISE-identical to
+    the f32 carry — in both the unfused and fused step."""
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_bitwise_vs_f32(self, fused):
+        from gcm_tpu import config
+
+        B, N, F, T = 3, 6, 5, 20
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        mk = lambda dt: RingDenseGCM(
+            gnn, edge_selectors=EdgeChain([TemporalBackedge([1]),
+                                           EuclideanEdge(2.0)]),
+            graph_size=N, adj_dtype=dt)
+        m32, m16 = mk(None), mk(jnp.bfloat16)
+        params = m32.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        config.RING_FUSED_STEP = fused
+        try:
+            o32, s32 = m32.scan(params, xs, m32.initial_state(B, F))
+            o16, s16 = m16.scan(params, xs, m16.initial_state(B, F))
+        finally:
+            config.RING_FUSED_STEP = False
+        np.testing.assert_array_equal(np.asarray(o32), np.asarray(o16))
+        assert s16.adj.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(s32.adj),
+                                      np.asarray(s16.adj.astype(s32.adj.dtype)))
+
+    def test_learned_temporal_rejected(self):
+        gnn = DenseGNN([DenseGraphConv(4, 4)])
+        with pytest.raises(ValueError):
+            RingDenseGCM(gnn, graph_size=4, adj_dtype=jnp.bfloat16,
+                         edge_selectors=TemporalBackedge(
+                             [1], learned=True, learning_window=3))
