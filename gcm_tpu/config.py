@@ -63,9 +63,16 @@ SCAN_UNROLL: int = 4
 # dominating the scan (31% one DUS + 13% carry copies; MEASURE_r3). The
 # rewrite is pointwise in the old adjacency, so XLA can alias the scan-carry
 # buffer in place. Bit-identical to the unfused path
-# (tests/test_ring_gcm.py::TestFusedStep); default pending TPU measurement
-# (benchmarks/state_churn.py).
-RING_FUSED_STEP: bool = False
+# (tests/test_ring_gcm.py::TestFusedStep). Measured round 4 (TPU v5e,
+# flagship temporal config, MEASURE_r4/state_churn): 6.41M timesteps/s at
+# unroll=1 vs 2.07M unfused — 3.1x, 58% of the [B,N,N]-carry HBM roofline.
+RING_FUSED_STEP: bool = True
+
+# lax.scan unroll for the FUSED ring step specifically: the single pointwise
+# rewrite aliases the carry in place, and unrolling breaks that (measured
+# round 4: 6.41M at unroll=1 vs 4.14M at unroll=4). Other cores keep
+# SCAN_UNROLL.
+RING_SCAN_UNROLL: int = 1
 
 # Grid-free edge emission gate: window-space scoring wins when the graph is
 # at least EMIT_WINDOW_FACTOR x the effective window (measured crossover,
@@ -77,7 +84,7 @@ EMIT_WINDOW_FACTOR = 4
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
-                 "SPMM_PRECISION")
+                 "RING_SCAN_UNROLL", "SPMM_PRECISION")
 
 
 def apply_tuning(overrides: dict) -> None:

@@ -450,9 +450,14 @@ class RingDenseGCM:
              remat=False, unroll=None):
         """dones: optional [B, T] episode terminations — wipes the memory of
         finished episodes after each step (see DenseGCM.scan). remat/unroll:
-        see DenseGCM.scan."""
+        see DenseGCM.scan. With the fused step, unroll=None takes the
+        ring-specific measured default (config.RING_SCAN_UNROLL=1: the
+        in-place carry rewrite is what unrolling breaks)."""
+        from gcm_tpu import config
         from gcm_tpu.models.dense_gcm import _scan_with_resets
 
+        if unroll is None and config.RING_FUSED_STEP:
+            unroll = config.RING_SCAN_UNROLL
         return _scan_with_resets(self, params, xs, state, key, dones, remat,
                                  unroll)
 

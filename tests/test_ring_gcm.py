@@ -150,13 +150,14 @@ class TestFusedStep:
                             graph_size=N, **kw)
         params = ring.init(jax.random.PRNGKey(seed))
         xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, F))
-        assert not config.RING_FUSED_STEP
-        outs_u, st_u = ring.scan(params, xs, ring.initial_state(B, F))
-        config.RING_FUSED_STEP = True
+        prev = config.RING_FUSED_STEP
         try:
+            config.RING_FUSED_STEP = False
+            outs_u, st_u = ring.scan(params, xs, ring.initial_state(B, F))
+            config.RING_FUSED_STEP = True
             outs_f, st_f = ring.scan(params, xs, ring.initial_state(B, F))
         finally:
-            config.RING_FUSED_STEP = False
+            config.RING_FUSED_STEP = prev
         return (np.array(outs_u), jax.tree_util.tree_map(np.array, st_u),
                 np.array(outs_f), jax.tree_util.tree_map(np.array, st_f))
 
@@ -201,11 +202,12 @@ class TestFusedStep:
         TestRingParity)."""
         from gcm_tpu import config
 
+        prev = config.RING_FUSED_STEP
         config.RING_FUSED_STEP = True
         try:
             d, r = run_pair(lambda: TemporalBackedge([1]), N=6, T=14)
         finally:
-            config.RING_FUSED_STEP = False
+            config.RING_FUSED_STEP = prev
         assert np.allclose(d, r, atol=1e-5)
 
 
@@ -229,12 +231,13 @@ class TestAdjDtype:
         m32, m16 = mk(None), mk(jnp.bfloat16)
         params = m32.init(jax.random.PRNGKey(0))
         xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+        prev = config.RING_FUSED_STEP
         config.RING_FUSED_STEP = fused
         try:
             o32, s32 = m32.scan(params, xs, m32.initial_state(B, F))
             o16, s16 = m16.scan(params, xs, m16.initial_state(B, F))
         finally:
-            config.RING_FUSED_STEP = False
+            config.RING_FUSED_STEP = prev
         np.testing.assert_array_equal(np.asarray(o32), np.asarray(o16))
         assert s16.adj.dtype == jnp.bfloat16
         np.testing.assert_array_equal(np.asarray(s32.adj),
