@@ -530,8 +530,8 @@ def main():
         "fwd_bwd_timesteps_per_s": round(fwd_bwd),
         "ring_timesteps_per_s": round(ring),
         "banded_timesteps_per_s": round(banded),
-        "banded_window_timesteps_per_s": round(banded_win),
-        "banded_window_train_timesteps_per_s": round(banded_win_train),
+        "banded_window_chainedTw128_timesteps_per_s": round(banded_win),
+        "banded_window_chainedTw128_train_timesteps_per_s": round(banded_win_train),
         "sparse_train_timesteps_per_s": round(sparse_train),
         "spmm_edges_per_s": round(spmm),
         "dense_edge_n512_timesteps_per_s": round(dense_edge),
