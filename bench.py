@@ -428,6 +428,28 @@ def bench_distance(mode, B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
                              seed=41 + len(mode))
 
 
+def bench_ring_scored(kind, B=32, obs=8, hidden=32, N=128, T_lo=128,
+                      T_hi=640):
+    """Scored/learned selectors on the FUSED ring core — the core='auto'
+    production path for these configs (wrappers resolve scored selectors to
+    'ring'; RING_FUSED_STEP measured 3.1-7x the r3 numbers, MEASURE_r4)."""
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    sel = (EuclideanEdge(max_distance=1.0) if kind == "euclidean"
+           else LearnedEdge(input_size=obs, deterministic=True))
+    model = RingDenseGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                         edge_selectors=sel, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    return _bench_dense_scan(model, params, obs, B, T_lo, T_hi,
+                             seed=47 + len(kind))
+
+
 def bench_learned_edge(B=32, obs=8, hidden=32, N=128, T_lo=64, T_hi=256):
     """BASELINE.json config 5a: dense LearnedEdge (pair-MLP scorer +
     Spardmax, reference edge_selectors/learned.py:7-125), deterministic."""
@@ -520,6 +542,8 @@ def main():
     cosine = bench_distance("cosine")
     spatial = bench_distance("spatial")
     learned = bench_learned_edge()
+    ring_euclid = bench_ring_scored("euclidean")
+    ring_learned = bench_ring_scored("learned")
     nav = bench_nav_gcm()
     nav_inc = bench_nav_gcm(incremental=True)
     print(json.dumps({
@@ -540,6 +564,8 @@ def main():
         "cosine_timesteps_per_s": round(cosine),
         "spatial_timesteps_per_s": round(spatial),
         "learned_edge_timesteps_per_s": round(learned),
+        "ring_euclidean_timesteps_per_s": round(ring_euclid),
+        "ring_learned_timesteps_per_s": round(ring_learned),
         "nav_gcm_timesteps_per_s": round(nav),
         "nav_incremental_timesteps_per_s": round(nav_inc),
         "backend": jax.default_backend(),

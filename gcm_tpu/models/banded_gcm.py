@@ -202,8 +202,9 @@ class BandedRingGCM:
     def window_profitable(self) -> bool:
         """Measured dispatch gate for the wrappers' whole-trajectory call:
         the banded stencil `window()` beats its scan on every backend and
-        shape measured (BASELINE.md round 3: 102M ts/s vs 5.0M scan on TPU
-        v5e at B=32/N=128) -- always profitable."""
+        shape measured (BASELINE.md round-4 reconciliation: 44M +- 4M ts/s
+        chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128, ~66M
+        asymptotic in-window) -- always profitable."""
         return True
 
     # -- whole-trajectory parallel forward -----------------------------------
@@ -504,8 +505,9 @@ class BandedScoredGCM:
     def window_profitable(self) -> bool:
         """Measured dispatch gate for the wrappers' whole-trajectory call:
         the banded stencil `window()` beats its scan on every backend and
-        shape measured (BASELINE.md round 3: 102M ts/s vs 5.0M scan on TPU
-        v5e at B=32/N=128) -- always profitable."""
+        shape measured (BASELINE.md round-4 reconciliation: 44M +- 4M ts/s
+        chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128, ~66M
+        asymptotic in-window) -- always profitable."""
         return True
 
     # -- whole-trajectory parallel forward -----------------------------------

@@ -68,8 +68,13 @@ def _make_kernel(mode):
                 jnp.dot(sink_oh.T, gh, preferred_element_type=jnp.float32)
                 + jnp.dot(sink_oh.T, gl, preferred_element_type=jnp.float32))
         else:
+            # 'default' must pass precision=None (inherit the GLOBAL
+            # jax_default_matmul_precision) — pinning Precision.DEFAULT
+            # would force bf16 even under contexts that set 'highest'
+            # (parity tests, bench_reference comparisons), which the round-4
+            # TPU drive caught as a 2.7e-3 dense-vs-sparse divergence.
             prec = (jax.lax.Precision.HIGHEST if mode == "highest"
-                    else jax.lax.Precision.DEFAULT)
+                    else None)
             src_oh = (rows == src[:, None]).astype(x.dtype)    # [E_blk, N]
             gathered = jnp.dot(src_oh, x,
                                preferred_element_type=jnp.float32,
