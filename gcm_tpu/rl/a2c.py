@@ -119,9 +119,15 @@ class A2C:
         mem = self.policy.initial_state(B)
         # dones: replay resets memory at episode boundaries exactly as
         # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
+        from gcm_tpu import config
+
+        # training-side unroll: the backward has no in-place carry rewrite
+        # to protect, so even the fused ring core prefers the global
+        # SCAN_UNROLL here (MEASURE_r4/state_churn2: +17% fwd+bwd)
         logits, values, _ = self.policy(params, traj["obs"], mem,
                                         prev_actions=traj["prev_actions"],
-                                        dones=traj["dones"])
+                                        dones=traj["dones"],
+                                        unroll=config.SCAN_UNROLL)
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)
         act_logp = self.dist.log_prob(logits, traj["actions"])

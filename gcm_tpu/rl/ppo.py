@@ -70,9 +70,14 @@ class PPO(A2C):
         mem = self.policy.initial_state(B)
         # dones: replay resets memory at episode boundaries exactly as
         # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
+        from gcm_tpu import config
+
+        # training-side unroll (see rl/a2c.py loss): backward prefers the
+        # global SCAN_UNROLL even on the fused ring core (MEASURE_r4)
         logits, values, _ = self.policy(params, traj_mb["obs"], mem,
                                         prev_actions=traj_mb["prev_actions"],
-                                        dones=traj_mb["dones"])
+                                        dones=traj_mb["dones"],
+                                        unroll=config.SCAN_UNROLL)
         logp = self.dist.log_prob(logits, traj_mb["actions"])
         entropy = self.dist.entropy(logits)
         return logp, values, entropy

@@ -326,14 +326,19 @@ class GCMActorCritic:
         return logits, value, state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 dones=None):
+                 dones=None, unroll=None):
         """Whole trajectory: obs_seq [B, T, obs_dim] ->
         (logits [B, T, A], values [B, T], state).
 
         dones: optional [B, T] episode terminations — resets the memory of
         finished episodes inside the scan, so training-time replay matches
         collect-time beliefs for rollouts with mid-window episode ends (the
-        reference adapter's rllib seq_lens semantics, ray_gcm.py:188-202)."""
+        reference adapter's rllib seq_lens semantics, ray_gcm.py:188-202).
+
+        unroll: lax.scan unroll override for the scan path (window path
+        ignores it). Trainers pass the measured training default — the
+        fused ring core prefers unroll=1 forward but unroll=4 under grad
+        (MEASURE_r4/state_churn2: 1.28M vs 1.09M fwd+bwd)."""
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
@@ -358,7 +363,8 @@ class GCMActorCritic:
                                               dones=dones)
         else:
             beliefs, state = self.core.scan(params["core"], x, state,
-                                            key=key, dones=dones)
+                                            key=key, dones=dones,
+                                            unroll=unroll)
         logits = self.logit_branch(params["logit"], beliefs)
         values = self.value_branch(params["value"], beliefs)[..., 0]
         return logits, values, state
@@ -417,11 +423,14 @@ class SparseGCMActorCritic(GCMActorCritic):
         return logits[:, 0], values[:, 0], state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 taus=None, dones=None):
+                 taus=None, dones=None, unroll=None):
         """dones: optional [B, T] episode terminations — restricts edges and
         positional encoding to within-episode pairs in the single whole-window
         SparseGCM call (reference ray_sparse_gcm.py:195-200 seq_lens
-        semantics)."""
+        semantics). unroll is accepted for trainer-signature compatibility
+        and ignored: the sparse core has no per-step scan to unroll (one
+        time-batched call)."""
+        del unroll
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
