@@ -101,13 +101,17 @@ def main():
                           "results": results}), flush=True)
         return
 
-    # 2+3. full model x remat policy x core
+    # 2+3. full model x remat policy x core. remat=<int K> is the chunked
+    # sqrt-T checkpointing (saves the [B,N,N] carry residual only at chunk
+    # boundaries — the bwd interaction term the stage ablation exposed).
     for core in ("dense", "ring_fused"):
-        for remat in (False, True, "dots", "dots_no_batch"):
+        for remat in (False, True, "dots", "dots_no_batch", 8, 16, 32):
             tag = {False: "none", True: "full"}.get(remat, remat)
+            if isinstance(remat, int) and not isinstance(remat, bool):
+                tag = f"chunk{remat}"
             gx, gp = full_model_fns(core, remat)
             rate, slope = slope_rate(gp, *args.t,
-                                     seed=(31 + len(tag)) % 97)
+                                     seed=(31 + len(str(tag))) % 97)
             record(f"{core}_gradp_remat_{tag}", rate, slope)
         # grad wrt xs only (no dw matmuls), no remat — prices the param grads
         gx, _ = full_model_fns(core, False)

@@ -50,6 +50,14 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     (dots_with_no_batch_dims_saveable — save only the weight-matmul
     results, recompute the [B,·,·] products too). Measured in
     benchmarks/bwd_breakdown.py.
+    remat may also be an int K: CHUNKED (sqrt-T) checkpointing — an outer
+    scan over T/K chunks with the K-step inner scan rematerialized. The
+    backward's dominant cost is saving the [B,N,N] carry per step as a
+    residual (bwd_breakdown: the ~18 us/step interaction term; per-step
+    jax.checkpoint does NOT remove it because the carry input must still
+    be saved to recompute). Chunking saves the carry only at chunk
+    boundaries — T/K copies instead of T — at one extra in-chunk forward.
+    Forward is bit-identical to the plain scan (same step math and order).
     unroll=K unrolls K loop iterations per XLA while-loop step (lax.scan
     unroll=) — bit-identical recurrence, lets XLA fuse across steps and
     amortize per-op overhead in the loop body (the scan_breakdown.py
@@ -71,34 +79,50 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
             new_state = reset_where(new_state, d)
         return new_state, out
 
+    # pack per-step inputs once (lax.scan can't scan None leaves)
+    legs = [xs_t]
+    if keys is not None:
+        legs.append(keys)
+    if dones_t is not None:
+        legs.append(dones_t)
+
+    def body(carry, inp):
+        it = iter(inp)
+        x = next(it)
+        k = next(it) if keys is not None else None
+        d = next(it) if dones_t is not None else None
+        return step(carry, (x, k, d))
+
+    if isinstance(remat, int) and not isinstance(remat, bool):
+        K = remat
+        assert T % K == 0, (
+            f"chunked remat: T={T} must be divisible by chunk size K={K}")
+
+        def chunk_body(carry, chunk):
+            return jax.lax.scan(body, carry, chunk, unroll=unroll)
+
+        # prevent_cse=False: safe under lax.scan (the loop already isolates
+        # iterations) and avoids the anti-CSE overhead jax.checkpoint adds
+        chunk_body = jax.checkpoint(chunk_body, prevent_cse=False)
+        legs_c = tuple(leg.reshape((T // K, K) + leg.shape[1:])
+                       for leg in legs)
+        final_state, outs = jax.lax.scan(chunk_body, state, legs_c)
+        outs = outs.reshape((T,) + outs.shape[2:])
+        return jnp.swapaxes(outs, 0, 1), final_state
+
     if remat:
         if remat is True:
-            step = jax.checkpoint(step)
+            body = jax.checkpoint(body, prevent_cse=False)
         else:
             policies = {
                 "dots": jax.checkpoint_policies.dots_saveable,
                 "dots_no_batch":
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             }
-            step = jax.checkpoint(step, policy=policies[remat])
-
-    # lax.scan can't carry None leaves in xs; build the per-case tuple
-    if keys is None and dones_t is None:
-        final_state, outs = jax.lax.scan(
-            lambda c, x: step(c, (x, None, None)), state, xs_t,
-            unroll=unroll)
-    elif keys is None:
-        final_state, outs = jax.lax.scan(
-            lambda c, inp: step(c, (inp[0], None, inp[1])), state,
-            (xs_t, dones_t), unroll=unroll)
-    elif dones_t is None:
-        final_state, outs = jax.lax.scan(
-            lambda c, inp: step(c, (inp[0], inp[1], None)), state,
-            (xs_t, keys), unroll=unroll)
-    else:
-        final_state, outs = jax.lax.scan(
-            lambda c, inp: step(c, inp), state, (xs_t, keys, dones_t),
-            unroll=unroll)
+            body = jax.checkpoint(body, policy=policies[remat],
+                                  prevent_cse=False)
+    final_state, outs = jax.lax.scan(body, state, tuple(legs),
+                                     unroll=unroll)
     return jnp.swapaxes(outs, 0, 1), final_state
 
 

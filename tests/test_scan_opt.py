@@ -233,3 +233,54 @@ class TestRematPolicies:
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestChunkedRemat:
+    """remat=<int K> (chunked sqrt-T checkpointing): forward bit-identical
+    to the plain scan; gradients match to reassociation tolerance; works
+    with dones and on the fused ring core."""
+
+    def test_forward_bitwise_and_grads(self):
+        model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, 12, OBS))
+        st = model.initial_state(B, OBS)
+        o0, f0 = model.scan(params, xs, st)
+        o1, f1 = model.scan(params, xs, st, remat=4)
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+        for a, b in zip(jax.tree.leaves(f0), jax.tree.leaves(f1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(p, r):
+            outs, _ = model.scan(p, xs, st, remat=r)
+            return jnp.sum(outs ** 2)
+
+        g0 = jax.grad(loss)(params, False)
+        g1 = jax.grad(loss)(params, 4)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_ring_fused_with_dones(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.models.ring_gcm import RingDenseGCM
+
+        gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh])
+        model = RingDenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                             edge_selectors=TemporalBackedge([1]),
+                             graph_size=N)
+        params = model.init(jax.random.PRNGKey(2))
+        xs, dones = _traj(seed=3)
+        xs = xs[:, :12]
+        dones = dones[:, :12]
+        st = model.initial_state(B, OBS)
+        o0, _ = model.scan(params, xs, st, dones=dones)
+        o1, _ = model.scan(params, xs, st, dones=dones, remat=3)
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def test_indivisible_raises(self):
+        model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jnp.ones((B, 13, OBS))
+        with pytest.raises(AssertionError):
+            model.scan(params, xs, model.initial_state(B, OBS), remat=4)
