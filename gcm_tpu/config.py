@@ -68,6 +68,15 @@ SCAN_UNROLL: int = 4
 # unroll=1 vs 2.07M unfused — 3.1x, 58% of the [B,N,N]-carry HBM roofline.
 RING_FUSED_STEP: bool = True
 
+# Training-side chunked checkpointing cap (scan remat=K): the backward's
+# dominant cost is the per-step [B,N,N] carry residual; saving it only at
+# chunk boundaries measured +50-85% fwd+bwd on the ring core across 3
+# passes (MEASURE_r4/bwd_breakdown2 + chunk_confirm: 1.43-1.95M vs
+# 0.90-1.13M). Trainers pick the largest divisor of T up to this cap
+# (rl/wrappers.py::train_remat_for); dense measured a wash, fast cores
+# train through window().
+TRAIN_REMAT_CHUNK: int = 32
+
 # lax.scan unroll for the FUSED ring step specifically: the single pointwise
 # rewrite aliases the carry in place, and unrolling breaks that (measured
 # round 4: 6.41M at unroll=1 vs 4.14M at unroll=4). Other cores keep
@@ -84,7 +93,7 @@ EMIT_WINDOW_FACTOR = 4
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
-                 "RING_SCAN_UNROLL", "SPMM_PRECISION")
+                 "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK")
 
 
 def apply_tuning(overrides: dict) -> None:

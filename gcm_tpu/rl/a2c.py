@@ -120,14 +120,21 @@ class A2C:
         # dones: replay resets memory at episode boundaries exactly as
         # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
         from gcm_tpu import config
+        from gcm_tpu.rl.wrappers import train_remat_for
 
-        # training-side unroll: the backward has no in-place carry rewrite
-        # to protect, so even the fused ring core prefers the global
-        # SCAN_UNROLL here (MEASURE_r4/state_churn2: +17% fwd+bwd)
+        # training-side scan knobs (both measured, MEASURE_r4): the backward
+        # has no in-place carry rewrite to protect, so even the fused ring
+        # core prefers the global SCAN_UNROLL (+17%); chunked checkpointing
+        # saves the [B,N,N] carry residual only at chunk boundaries
+        # (+50-85% fwd+bwd on the ring core)
+        T = traj["obs"].shape[1]
         logits, values, _ = self.policy(params, traj["obs"], mem,
                                         prev_actions=traj["prev_actions"],
                                         dones=traj["dones"],
-                                        unroll=config.SCAN_UNROLL)
+                                        unroll=config.SCAN_UNROLL,
+                                        remat=train_remat_for(
+                                            getattr(self.policy, "core",
+                                                    None), T))
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)
         act_logp = self.dist.log_prob(logits, traj["actions"])

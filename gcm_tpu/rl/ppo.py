@@ -71,13 +71,17 @@ class PPO(A2C):
         # dones: replay resets memory at episode boundaries exactly as
         # collect did (reference seq_lens semantics, ray_sparse_gcm.py:195-200)
         from gcm_tpu import config
+        from gcm_tpu.rl.wrappers import train_remat_for
 
-        # training-side unroll (see rl/a2c.py loss): backward prefers the
-        # global SCAN_UNROLL even on the fused ring core (MEASURE_r4)
+        # training-side scan knobs (see rl/a2c.py loss; MEASURE_r4)
+        T = traj_mb["obs"].shape[1]
         logits, values, _ = self.policy(params, traj_mb["obs"], mem,
                                         prev_actions=traj_mb["prev_actions"],
                                         dones=traj_mb["dones"],
-                                        unroll=config.SCAN_UNROLL)
+                                        unroll=config.SCAN_UNROLL,
+                                        remat=train_remat_for(
+                                            getattr(self.policy, "core",
+                                                    None), T))
         logp = self.dist.log_prob(logits, traj_mb["actions"])
         entropy = self.dist.entropy(logits)
         return logp, values, entropy

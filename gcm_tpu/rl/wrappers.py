@@ -86,6 +86,27 @@ class _FrozenMLP:
         return self.inner(frozen, x)
 
 
+def train_remat_for(core, T: int):
+    """Measured training-side remat choice for a whole-trajectory update:
+    chunked checkpointing (scan remat=K) on the ring core — +50-85% fwd+bwd
+    across 3 TPU passes (MEASURE_r4) because the per-step [B,N,N] carry
+    residual is saved only at chunk boundaries. False elsewhere: dense
+    measured a wash; the fast cores train through window(). K = largest
+    divisor of T up to config.TRAIN_REMAT_CHUNK (chunking needs T % K == 0;
+    forward stays bit-identical for any K)."""
+    from gcm_tpu import config
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+
+    if not isinstance(core, RingDenseGCM):
+        return False
+    K = min(config.TRAIN_REMAT_CHUNK, T)
+    while K > 1 and T % K:
+        K -= 1
+    # K == T would be one chunk = whole-trajectory remat (a different,
+    # unmeasured trade); chunking needs at least 2 chunks to save residuals
+    return K if 4 <= K < T else False
+
+
 def _derive_slot_k(sel):
     """Structural per-(sink, src-window) degree bound for the slot
     aggregation, when the selector's construction guarantees one:
@@ -326,7 +347,7 @@ class GCMActorCritic:
         return logits, value, state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 dones=None, unroll=None):
+                 dones=None, unroll=None, remat=False):
         """Whole trajectory: obs_seq [B, T, obs_dim] ->
         (logits [B, T, A], values [B, T], state).
 
@@ -364,7 +385,7 @@ class GCMActorCritic:
         else:
             beliefs, state = self.core.scan(params["core"], x, state,
                                             key=key, dones=dones,
-                                            unroll=unroll)
+                                            unroll=unroll, remat=remat)
         logits = self.logit_branch(params["logit"], beliefs)
         values = self.value_branch(params["value"], beliefs)[..., 0]
         return logits, values, state
@@ -423,14 +444,14 @@ class SparseGCMActorCritic(GCMActorCritic):
         return logits[:, 0], values[:, 0], state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 taus=None, dones=None, unroll=None):
+                 taus=None, dones=None, unroll=None, remat=False):
         """dones: optional [B, T] episode terminations — restricts edges and
         positional encoding to within-episode pairs in the single whole-window
         SparseGCM call (reference ray_sparse_gcm.py:195-200 seq_lens
         semantics). unroll is accepted for trainer-signature compatibility
         and ignored: the sparse core has no per-step scan to unroll (one
         time-batched call)."""
-        del unroll
+        del unroll, remat
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None

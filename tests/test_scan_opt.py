@@ -284,3 +284,23 @@ class TestChunkedRemat:
         xs = jnp.ones((B, 13, OBS))
         with pytest.raises(AssertionError):
             model.scan(params, xs, model.initial_state(B, OBS), remat=4)
+
+
+class TestTrainRematFor:
+    def test_picks_divisor_on_ring(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.models.ring_gcm import RingDenseGCM
+        from gcm_tpu.rl.wrappers import train_remat_for
+
+        gnn = DenseGNN([DenseGraphConv(4, 4)])
+        ring = RingDenseGCM(gnn, edge_selectors=TemporalBackedge([1]),
+                            graph_size=8)
+        assert train_remat_for(ring, 128) == 32
+        assert train_remat_for(ring, 48) == 24
+        assert train_remat_for(ring, 13) is False  # prime, no useful chunk
+        assert train_remat_for(None, 128) is False
+
+    def test_false_on_other_cores(self):
+        from gcm_tpu.rl.wrappers import train_remat_for
+
+        assert train_remat_for(_banded(), 128) is False
