@@ -93,8 +93,10 @@ def main():
         print(json.dumps({name: results[name]}), flush=True)
 
     # 1. stage ablation under grad (consecutive diffs = per-stage bwd cost)
-    for name, fn in dense_variants():
-        rate, slope = slope_rate(gradify(fn), *args.t, seed=hash(name) % 97)
+    for vi, (name, fn) in enumerate(dense_variants()):
+        # stable seed: str hash is salted per interpreter (PYTHONHASHSEED),
+        # which would make inputs differ across runs
+        rate, slope = slope_rate(gradify(fn), *args.t, seed=41 + vi)
         record(f"bwd_{name}", rate, slope)
     if args.stages_only:
         print(json.dumps({"backend": jax.default_backend(),

@@ -46,7 +46,7 @@ def dense_scan_fn(unroll):
     return fn
 
 
-def ring_model():
+def ring_model(adj_dtype=None):
     from gcm_tpu.edges.temporal import TemporalBackedge
     from gcm_tpu.models.ring_gcm import RingDenseGCM
     from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
@@ -55,12 +55,12 @@ def ring_model():
     gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
                     DenseGraphConv(HID, HID), jnp.tanh])
     return RingDenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
-                        edge_selectors=TemporalBackedge([1]), graph_size=N)
+                        edge_selectors=TemporalBackedge([1]), graph_size=N,
+                        adj_dtype=adj_dtype)
 
 
 def ring_scan_fn(unroll, adj_dtype=None):
-    model = ring_model()
-    model.adj_dtype = adj_dtype
+    model = ring_model(adj_dtype=adj_dtype)
     params = model.init(jax.random.PRNGKey(0))
     state0 = model.initial_state(B, OBS)
 
@@ -182,6 +182,7 @@ def main():
         record(f"dense_slicepad_u{unroll}", rate, slope)
 
     # ring: unfused vs fused, u1 and u4 (r3 baseline: 1.80M @ u4)
+    prev0 = config.RING_FUSED_STEP
     for fused in (False, True):
         config.RING_FUSED_STEP = fused
         tag = "fused" if fused else "unfused"
@@ -189,21 +190,22 @@ def main():
             rate, slope = slope_rate(ring_scan_fn(unroll), *args.t_dense,
                                      seed=81 + unroll + (7 if fused else 0))
             record(f"ring_{tag}_u{unroll}", rate, slope)
+    config.RING_FUSED_STEP = prev0
+
     # bf16 adjacency carry (bitwise-exact for 0/1 selectors): halves the
     # dominant [B,N,N] HBM traffic of the fused step
+    prev_fused = config.RING_FUSED_STEP
     config.RING_FUSED_STEP = True
     rate, slope = slope_rate(ring_scan_fn(1, jnp.bfloat16), *args.t_dense,
                              seed=201)
     record("ring_fused_bf16adj_u1", rate, slope)
-    config.RING_FUSED_STEP = False
 
     # training through the fused step (r3 dense fwd_bwd baseline: 781k)
-    config.RING_FUSED_STEP = True
     for unroll in (1, 4):
         rate, slope = slope_rate(ring_train_fn(unroll), *args.t_dense,
                                  seed=96 + unroll)
         record(f"ring_fused_train_u{unroll}", rate, slope)
-    config.RING_FUSED_STEP = False
+    config.RING_FUSED_STEP = prev_fused
 
     print(json.dumps({"backend": jax.default_backend(),
                       "workload": f"B={B} obs={OBS} hid={HID} N={N}",

@@ -60,7 +60,10 @@ def window_supported(model) -> bool:
     if (model.aux_edge_selectors is not None or model.pooled
             or model.positional_encoder is not None or model.edge_weights):
         return False
-    plan = plan_conv_stack(model.gnn.layers, allowed_aggrs=("add", "mean"))
+    layers = getattr(model.gnn, "layers", None)
+    if layers is None:  # custom GNN callable — general scan only
+        return False
+    plan = plan_conv_stack(layers, allowed_aggrs=("add", "mean"))
     if plan is None or len(plan[0]) > 2:
         return False
 

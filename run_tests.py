@@ -45,14 +45,21 @@ def order(files: list[str]) -> list[str]:
     return sorted(files, key=lambda f: rank.get(os.path.basename(f), len(rank)))
 
 
-def run_file(path: str) -> subprocess.Popen:
-    return subprocess.Popen(
+def run_file(path: str):
+    # stdout goes to a temp FILE, not a pipe: a pipe is only drained after
+    # exit, so a verbosely-failing file (>~64KB of tracebacks) would block
+    # on write and deadlock the runner
+    import tempfile
+
+    out = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+    proc = subprocess.Popen(
         [sys.executable, "-m", "pytest", path, "-q", "--no-header"],
-        stdout=subprocess.PIPE,
+        stdout=out,
         stderr=subprocess.STDOUT,
         cwd=REPO,
         text=True,
     )
+    return proc, out
 
 
 def main() -> int:
@@ -69,28 +76,30 @@ def main() -> int:
 
     t0 = time.time()
     pending = list(files)
-    running: dict[str, tuple[subprocess.Popen, int]] = {}  # file -> (proc, attempt)
+    running: dict = {}  # file -> (proc, out_file, attempt)
     results: dict[str, tuple[int, str]] = {}  # file -> (rc, output)
 
     while pending or running:
         while pending and len(running) < args.j:
             f = pending.pop(0)
-            running[f] = (run_file(f), 1)
+            running[f] = (*run_file(f), 1)
         done = None
-        for f, (proc, attempt) in running.items():
+        for f, (proc, _outf, attempt) in running.items():
             if proc.poll() is not None:
                 done = f
                 break
         if done is None:
             time.sleep(0.3)
             continue
-        proc, attempt = running.pop(done)
-        out = proc.stdout.read() if proc.stdout else ""
+        proc, outf, attempt = running.pop(done)
+        outf.seek(0)
+        out = outf.read()
+        outf.close()
         rc = proc.returncode
         crashed = rc < 0 or rc == 139 or rc == 134
         if crashed and attempt == 1:
             print(f"  CRASH (rc={rc}) {done} — retrying once", flush=True)
-            running[done] = (run_file(done), 2)
+            running[done] = (*run_file(done), 2)
             continue
         results[done] = (rc, out)
         tag = "ok" if rc == 0 else ("CRASH" if crashed else "FAIL")
