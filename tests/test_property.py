@@ -142,3 +142,77 @@ class TestBucketConservation:
         want = edge_scatter_add(x, e, w)
         got = spmm_pairs(x, be, bw, NN, cap, "f32x2")
         assert np.allclose(np.array(got), np.array(want), atol=1e-3)
+
+
+class TestFusedRingProperty:
+    """Property fuzz over the round-4 ring hot paths: for random selector
+    chains, shapes, and warm-up lengths, the fused step must be BITWISE
+    equal to the unfused step, and (when the structure qualifies) the
+    scan-free window() must match the scan allclose with an exactly-equal
+    final node buffer/step count."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 3),            # batch
+        st.integers(4, 9),            # graph size N
+        st.integers(3, 7),            # feature dim
+        st.integers(1, 22),           # trajectory length
+        st.integers(0, 9),            # warm-up steps before comparing
+        st.lists(st.sampled_from(["temporal1", "temporal2", "euclid",
+                                  "spatial"]),
+                 min_size=1, max_size=2, unique=True),
+        st.integers(0, 2 ** 31 - 1),  # seed
+    )
+    def test_fused_bitwise_and_window_parity(self, B, N, F, T, warm, kinds,
+                                             seed):
+        from gcm_tpu import config
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.distance import EuclideanEdge, SpatialEdge
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.models.ring_gcm import RingDenseGCM
+        from gcm_tpu.models.ring_window import ring_window, window_supported
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        mk = {
+            "temporal1": lambda: TemporalBackedge([1]),
+            "temporal2": lambda: TemporalBackedge([2]),
+            "euclid": lambda: EuclideanEdge(max_distance=1.5),
+            "spatial": lambda: SpatialEdge(1.0, slice(0, min(2, F))),
+        }
+        sels = [mk[k]() for k in kinds]
+        sel = sels[0] if len(sels) == 1 else EdgeChain(sels)
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        model = RingDenseGCM(gnn, edge_selectors=sel, graph_size=N)
+        params = model.init(jax.random.PRNGKey(seed % 10_000))
+        st0 = model.initial_state(B, F)
+        prev = config.RING_FUSED_STEP
+        try:
+            if warm:
+                xs_w = jax.random.normal(jax.random.PRNGKey(seed % 997),
+                                         (B, warm, F))
+                config.RING_FUSED_STEP = False
+                _, st0 = model.scan(params, xs_w, st0)
+            xs = jax.random.normal(jax.random.PRNGKey(seed % 9991),
+                                   (B, T, F))
+            config.RING_FUSED_STEP = False
+            o_u, f_u = model.scan(params, xs, st0)
+            config.RING_FUSED_STEP = True
+            o_f, f_f = model.scan(params, xs, st0)
+            np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_f))
+            for a, b in zip(f_u, f_f):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+            if window_supported(model):
+                o_w, f_w = ring_window(model, params, xs, st0)
+                np.testing.assert_allclose(np.asarray(o_u), np.asarray(o_w),
+                                           atol=2e-5, rtol=0)
+                np.testing.assert_array_equal(np.asarray(f_u.nodes),
+                                              np.asarray(f_w.nodes))
+                np.testing.assert_array_equal(np.asarray(f_u.t),
+                                              np.asarray(f_w.t))
+                np.testing.assert_allclose(np.asarray(f_u.adj),
+                                           np.asarray(f_w.adj),
+                                           atol=2e-5, rtol=0)
+        finally:
+            config.RING_FUSED_STEP = prev
