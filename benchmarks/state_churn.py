@@ -32,14 +32,22 @@ import jax.numpy as jnp
 from scan_breakdown import B, HID, N, OBS, slope_rate  # noqa: E402
 
 
-def dense_scan_fn(unroll):
+def dense_scan_fn(unroll, train=False):
     from gcm_tpu.models.presets import readme_dense_gcm
 
     model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
     params = model.init(jax.random.PRNGKey(0))
     state0 = model.initial_state(B, OBS)
 
+    def loss(p, xs):
+        outs, _ = model.scan(p, xs, state0, unroll=unroll)
+        return jnp.sum(outs ** 2)
+
     def fn(xs, T):
+        if train:
+            g = jax.grad(loss)(params, xs)
+            return sum(jnp.sum(leaf)
+                       for leaf in jax.tree_util.tree_leaves(g))
         outs, _ = model.scan(params, xs, state0, unroll=unroll)
         return jnp.sum(outs)
 
@@ -141,6 +149,9 @@ def main():
     ap.add_argument("--window", action="store_true",
                     help="measure the scan-free ring window path vs the "
                          "scan on the euclidean / learned-edge configs")
+    ap.add_argument("--dense-fused", action="store_true",
+                    help="measure DENSE_FUSED_STEP (one select per array) "
+                         "vs the unfused dense step, fwd and train, u1/u4")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -153,6 +164,28 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.dense_fused:
+        prev = config.DENSE_FUSED_STEP
+        try:
+            for fused in (False, True):
+                config.DENSE_FUSED_STEP = fused
+                tag = "fused" if fused else "unfused"
+                for unroll in (1, 4):
+                    rate, slope = slope_rate(
+                        dense_scan_fn(unroll), *args.t_dense,
+                        seed=211 + unroll + (7 if fused else 0))
+                    record(f"dense_{tag}_u{unroll}", rate, slope)
+                rate, slope = slope_rate(dense_scan_fn(4, train=True),
+                                         *args.t_dense,
+                                         seed=231 + (7 if fused else 0))
+                record(f"dense_{tag}_train_u4", rate, slope)
+        finally:
+            config.DENSE_FUSED_STEP = prev
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     if args.window:
         for kind in ("euclidean", "learned"):

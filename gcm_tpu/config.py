@@ -68,6 +68,13 @@ SCAN_UNROLL: int = 4
 # unroll=1 vs 2.07M unfused — 3.1x, 58% of the [B,N,N]-carry HBM roofline.
 RING_FUSED_STEP: bool = True
 
+# Dense core fused step: wraparound shift + insert + every selector write
+# composed into ONE select per array (the dense-core mirror of
+# RING_FUSED_STEP at the logical index; models/dense_gcm.py::_call_fused).
+# Bitwise-identical (tests/test_dense_gcm.py::TestFusedDenseStep); default
+# pending TPU measurement (benchmarks/state_churn.py --dense-fused).
+DENSE_FUSED_STEP: bool = False
+
 # Training-side chunked checkpointing cap (scan remat=K): the backward's
 # dominant cost is the per-step [B,N,N] carry residual; saving it only at
 # chunk boundaries measured +50-85% fwd+bwd on the ring core across 3
@@ -93,7 +100,8 @@ EMIT_WINDOW_FACTOR = 4
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
-                 "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK")
+                 "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
+                 "DENSE_FUSED_STEP")
 
 
 def apply_tuning(overrides: dict) -> None:

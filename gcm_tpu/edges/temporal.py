@@ -57,13 +57,13 @@ class TemporalBackedge:
                 adj = adj.at[b_idx, col, row].set(jnp.where(valid, 1.0, old))
         return adj
 
-    def _learned(self, params, adj, num_nodes, key):
-        """Learned mask over the last `learning_window` slots
-        (reference temporal.py:51-70). Adds the mask to row num_nodes[b],
-        columns [0, min(num_nodes, window))."""
-        B, N = adj.shape[0], adj.shape[1]
+    def _learned_update(self, params, num_nodes, N, key):
+        """The [B, N] additive update to adjacency row num_nodes[b] from the
+        learned mask over the last `learning_window` slots (reference
+        temporal.py:51-70)."""
         W = self.learning_window
         window = params["window"]  # [W]
+        B = num_nodes.shape[0]
         col_iota = jnp.arange(W)[None, :]  # [1, W]
         cand = col_iota < jnp.minimum(num_nodes, W)[:, None]  # [B, W]
         neg = jnp.finfo(window.dtype).min
@@ -75,13 +75,19 @@ class TemporalBackedge:
             samples = [gumbel_softmax(k, logits, hard=True) for k in keys]
             mask = diff_or(samples)
         mask = mask * cand.astype(mask.dtype)  # [B, W]
-        # scatter-add into row num_nodes[b], first W columns
-        b_idx = jnp.arange(B)
-        row = jnp.clip(num_nodes, 0, N - 1)
         has_nodes = (num_nodes > 0)[:, None]
         pad = jnp.zeros((B, N - W), mask.dtype) if N > W else None
-        row_update = mask if pad is None else jnp.concatenate([mask, pad], axis=-1)
-        row_update = jnp.where(has_nodes, row_update, 0.0)
+        row_update = mask if pad is None else jnp.concatenate([mask, pad],
+                                                              axis=-1)
+        return jnp.where(has_nodes, row_update, 0.0)
+
+    def _learned(self, params, adj, num_nodes, key):
+        """Learned mask over the last `learning_window` slots; .at-write
+        form of _learned_update."""
+        B, N = adj.shape[0], adj.shape[1]
+        b_idx = jnp.arange(B)
+        row = jnp.clip(num_nodes, 0, N - 1)
+        row_update = self._learned_update(params, num_nodes, N, key)
         return adj.at[b_idx, row, :].add(row_update)
 
     def __call__(self, params, nodes, adj, weights, num_nodes, key=None):

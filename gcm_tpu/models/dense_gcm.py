@@ -126,6 +126,107 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     return jnp.swapaxes(outs, 0, 1), final_state
 
 
+def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
+    """Row/column-vector form of the dense edge selectors: returns the
+    contents of adjacency row num_nodes[b] and column num_nodes[b]
+    ([B, N] each) after applying `sel` on top of the running (row, col) —
+    the dense core's fused step (config.DENSE_FUSED_STEP) materializes them
+    in ONE pointwise rewrite. Exactly the values the selectors' .at writes
+    produce, given the state invariant that rows/columns >= num_nodes are
+    zero at step start (append-only writes + wrap-shift zeroing; pinned
+    bitwise by tests/test_dense_gcm.py::TestFusedDenseStep). The logical-
+    index mirror of RingDenseGCM._selector_row_col."""
+    from gcm_tpu.edges.chain import EdgeChain
+    from gcm_tpu.edges.dense import DenseEdge
+    from gcm_tpu.edges.distance import Distance
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.edges.temporal import TemporalBackedge
+    from gcm_tpu.utils.ste import gumbel_softmax, spardmax, ste
+
+    B, N = nodes.shape[0], nodes.shape[1]
+    b_idx = jnp.arange(B)
+    iota = jnp.arange(N)[None, :]
+    past = iota < num_nodes[:, None]  # [B, N]
+
+    if isinstance(sel, EdgeChain):
+        for s, sp in zip(sel.selectors, params):
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            row, col = _dense_selector_row_col(s, sp, nodes, row, col,
+                                               num_nodes, sub)
+        return row, col
+
+    if isinstance(sel, TemporalBackedge):
+        if sel.learned:
+            row = row + sel._learned_update(params, num_nodes, N, key)
+            return row, col
+        for hop in sel.hops:
+            ok = num_nodes >= hop
+            hit = (iota == jnp.clip(num_nodes - hop, 0, N - 1)[:, None]) \
+                & ok[:, None]
+            if sel.direction in ("forward", "both"):
+                row = jnp.where(hit, 1.0, row)
+            if sel.direction in ("backward", "both"):
+                col = jnp.where(hit, 1.0, col)
+        return row, col
+
+    if isinstance(sel, DenseEdge):
+        row = jnp.where(iota <= num_nodes[:, None], 1.0, row)  # incl. self
+        col = jnp.where(past, 1.0, col)
+        return row, col
+
+    if isinstance(sel, Distance):
+        scored = nodes / params["dist_param"] if sel.learned else nodes
+        curr = scored[b_idx, jnp.clip(num_nodes, 0, N - 1)]
+        mask = (sel.dist_fn(curr, scored) < sel.max_distance) & past
+        if sel.window is not None:
+            mask = mask & (iota >= num_nodes[:, None] - sel.window)
+        row = jnp.where(mask, 1.0, row)
+        if sel.bidirectional:
+            col = jnp.where(mask, 1.0, col)
+        return row, col
+
+    if isinstance(sel, LearnedEdge):
+        curr = nodes[b_idx, jnp.clip(num_nodes, 0, N - 1)]
+        net_in = jnp.concatenate(
+            [jnp.broadcast_to(curr[:, None, :], nodes.shape), nodes],
+            axis=-1)
+        logits = sel.edge_network(params["edge_network"], net_in)[..., 0]
+        shaped = jnp.where(past, logits, -1e10)
+        if sel.deterministic:
+            edges = spardmax(shaped, axis=-1)
+        else:
+            cutoff = 1.0 / (1 + sel.num_edge_samples)
+            soft = gumbel_softmax(key, shaped, axis=-1)
+            edges = ste(soft - cutoff)
+        row = jnp.where(past, ste(edges + row), row)
+        return row, col
+
+    raise NotImplementedError(
+        f"dense fused step: unsupported selector {sel}")
+
+
+def dense_fused_supported(model) -> bool:
+    """Can the fused dense step run this model's selectors? (The GNN and
+    aux/PE/pooled machinery are all orthogonal to the adjacency rewrite and
+    always supported.)"""
+    from gcm_tpu.edges.chain import EdgeChain
+    from gcm_tpu.edges.dense import DenseEdge
+    from gcm_tpu.edges.distance import Distance
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.edges.temporal import TemporalBackedge
+
+    def ok(sel):
+        if isinstance(sel, EdgeChain):
+            return all(ok(s) for s in sel.selectors)
+        return isinstance(sel, (TemporalBackedge, DenseEdge, Distance,
+                                LearnedEdge))
+
+    return all(s is None or ok(s)
+               for s in (model.edge_selectors, model.aux_edge_selectors))
+
+
 class DenseGCM:
     def __init__(
         self,
@@ -177,6 +278,10 @@ class DenseGCM:
             from gcm_tpu.utils.validation import check_dense_inputs
 
             check_dense_inputs(x, state, self.graph_size)
+        from gcm_tpu import config
+
+        if config.DENSE_FUSED_STEP and dense_fused_supported(self):
+            return self._call_fused(params, x, state, key)
         B = x.shape[0]
         b_idx = jnp.arange(B)
 
@@ -219,6 +324,71 @@ class DenseGCM:
             mx = node_feats[b_idx, num_nodes]
 
         return mx, DenseGraphState(nodes, adj, weights, num_nodes + 1)
+
+    def _call_fused(self, params, x, state: DenseGraphState, key=None):
+        """Single-rewrite step (config.DENSE_FUSED_STEP): wraparound shift,
+        node insert, and every selector write compose into one select per
+        array — the dense-core mirror of RingDenseGCM._call_fused, at the
+        logical index num_nodes[b] instead of the ring cursor. Relies on the
+        state invariant that rows/columns >= num_nodes are zero (append-only
+        writes; the wrap shift zeroes what becomes row/col N-1), so the
+        selector row/col vectors compose from zero. Bitwise-identical to the
+        unfused step (tests/test_dense_gcm.py::TestFusedDenseStep)."""
+        nodes, adj, weights, num_nodes = state
+        B = x.shape[0]
+        N = self.graph_size
+        b_idx = jnp.arange(B)
+
+        over = num_nodes + 1 > N
+        num2 = jnp.where(over, num_nodes - 1, num_nodes)
+        om = over[:, None, None]
+        i_eq = jnp.arange(N)[None, :] == num2[:, None]  # [B, N]
+
+        # wrap shift + insert: one select over [B, N, F]
+        nodes_w = jnp.pad(nodes[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        nodes = jnp.where(om, nodes_w, nodes)
+        nodes = jnp.where(i_eq[..., None], x[:, None, :].astype(nodes.dtype),
+                          nodes)
+        dirty_nodes = nodes
+
+        row = jnp.zeros((B, N), adj.dtype)
+        col = jnp.zeros((B, N), adj.dtype)
+        if self.edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            row, col = _dense_selector_row_col(
+                self.edge_selectors, params.get("edge_selectors"),
+                dirty_nodes, row, col, num2, sub)
+
+        if self.preprocessor is not None:
+            dirty_nodes = self.preprocessor(params["preprocessor"],
+                                            dirty_nodes)
+
+        if self.aux_edge_selectors is not None:
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
+            enc = dirty_nodes
+            if self.positional_encoder is not None:
+                enc = self.positional_encoder(
+                    params["positional_encoder"], dirty_nodes, num2)
+            row, col = _dense_selector_row_col(
+                self.aux_edge_selectors, params.get("aux_edge_selectors"),
+                enc, row, col, num2, sub)
+
+        # ONE adjacency rewrite: wrap shift + row/col writes at num2
+        adj_w = jnp.pad(adj[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
+        base = jnp.where(om, adj_w, adj)
+        adj = jnp.where(i_eq[:, :, None], row[:, None, :],
+                        jnp.where(i_eq[:, None, :], col[:, :, None], base))
+        if weights.size > 0:
+            w_w = jnp.pad(weights[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
+            weights = jnp.where(om, w_w, weights)
+
+        node_feats = self.gnn(params["gnn"], dirty_nodes, adj, weights)
+        mx = node_feats if self.pooled else node_feats[b_idx, num2]
+        return mx, DenseGraphState(nodes, adj, weights, num2 + 1)
 
     # -- trajectory --------------------------------------------------------
     @checked

@@ -270,3 +270,115 @@ class TestScanRemat:
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+class TestFusedDenseStep:
+    """config.DENSE_FUSED_STEP composes wraparound + insert + selector
+    writes into one select per array; it must be BITWISE identical to the
+    unfused step for every supported selector, through wraparound,
+    including the full state."""
+
+    def _pair(self, selector_fn, B=3, N=6, F=5, T=20, seed=0, **kw):
+        from gcm_tpu import config
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        model = DenseGCM(gnn, edge_selectors=selector_fn(), graph_size=N,
+                         **kw)
+        params = model.init(jax.random.PRNGKey(seed))
+        xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, F))
+        prev = config.DENSE_FUSED_STEP
+        try:
+            config.DENSE_FUSED_STEP = False
+            o_u, f_u = model.scan(params, xs, model.initial_state(B, F))
+            config.DENSE_FUSED_STEP = True
+            o_f, f_f = model.scan(params, xs, model.initial_state(B, F))
+        finally:
+            config.DENSE_FUSED_STEP = prev
+        np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_f))
+        for a, b in zip(f_u, f_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_temporal(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        self._pair(lambda: TemporalBackedge([1]))
+
+    def test_temporal_multihop_both(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        self._pair(lambda: TemporalBackedge([1, 3], direction="both"))
+
+    def test_temporal_learned(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        self._pair(lambda: TemporalBackedge([1], learned=True,
+                                            learning_window=5,
+                                            deterministic=True), N=6, T=15)
+
+    def test_dense_edge(self):
+        from gcm_tpu.edges.dense import DenseEdge
+
+        self._pair(DenseEdge)
+
+    def test_euclidean_windowed(self):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        self._pair(lambda: EuclideanEdge(max_distance=2.0, window=3))
+
+    def test_spatial_bidirectional(self):
+        from gcm_tpu.edges.distance import SpatialEdge
+
+        class BiSpatial(SpatialEdge):
+            def __init__(self):
+                super().__init__(1.0, slice(0, 2))
+                self.bidirectional = True
+
+        self._pair(BiSpatial)
+
+    def test_learned_deterministic(self):
+        from gcm_tpu.edges.learned import LearnedEdge
+
+        self._pair(lambda: LearnedEdge(input_size=5, deterministic=True))
+
+    def test_chain(self):
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        self._pair(lambda: EdgeChain([TemporalBackedge([1]),
+                                      EuclideanEdge(2.0)]))
+
+    def test_edge_weights_state(self):
+        from gcm_tpu.edges.temporal import TemporalBackedge
+
+        self._pair(lambda: TemporalBackedge([1]), edge_weights=True)
+
+    def test_no_selector(self):
+        self._pair(lambda: None)
+
+    def test_unsupported_selector_falls_back(self):
+        """A custom selector keeps the unfused path (no error)."""
+        from gcm_tpu import config
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        class Custom:
+            def init(self, key):
+                return {}
+
+            def __call__(self, params, nodes, adj, weights, num_nodes,
+                         key=None):
+                return adj, weights
+
+        gnn = DenseGNN([DenseGraphConv(4, 4)])
+        model = DenseGCM(gnn, edge_selectors=Custom(), graph_size=4)
+        params = model.init(jax.random.PRNGKey(0))
+        prev = config.DENSE_FUSED_STEP
+        try:
+            config.DENSE_FUSED_STEP = True
+            out, _ = model(params, jnp.ones((2, 4)),
+                           model.initial_state(2, 4))
+        finally:
+            config.DENSE_FUSED_STEP = prev
+        assert out.shape == (2, 4)
