@@ -71,9 +71,14 @@ RING_FUSED_STEP: bool = True
 # Dense core fused step: wraparound shift + insert + every selector write
 # composed into ONE select per array (the dense-core mirror of
 # RING_FUSED_STEP at the logical index; models/dense_gcm.py::_call_fused).
-# Bitwise-identical (tests/test_dense_gcm.py::TestFusedDenseStep); default
-# pending TPU measurement (benchmarks/state_churn.py --dense-fused).
-DENSE_FUSED_STEP: bool = False
+# Bitwise-identical (tests/test_dense_gcm.py::TestFusedDenseStep). Measured
+# round 4 (TPU v5e, flagship config, MEASURE_r4/dense_fused): 7.82M
+# timesteps/s at unroll=4 vs 2.68M unfused — 2.9x; train 1.31M vs 1.17M.
+# Unlike the ring core it prefers unroll=4 (the wrap-shift gather precludes
+# in-place carry aliasing, so unrolling amortizes instead of breaking it);
+# the global SCAN_UNROLL=4 already covers that. Unsupported custom
+# selectors fall back to the unfused path automatically.
+DENSE_FUSED_STEP: bool = True
 
 # Training-side chunked checkpointing cap (scan remat=K): the backward's
 # dominant cost is the per-step [B,N,N] carry residual; saving it only at
