@@ -131,10 +131,11 @@ def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
     contents of adjacency row num_nodes[b] and column num_nodes[b]
     ([B, N] each) after applying `sel` on top of the running (row, col) —
     the dense core's fused step (config.DENSE_FUSED_STEP) materializes them
-    in ONE pointwise rewrite. Exactly the values the selectors' .at writes
-    produce, given the state invariant that rows/columns >= num_nodes are
-    zero at step start (append-only writes + wrap-shift zeroing; pinned
-    bitwise by tests/test_dense_gcm.py::TestFusedDenseStep). The logical-
+    in ONE pointwise rewrite. The incoming (row, col) are seeded from the
+    post-wrap base state, so each selector's vector update composes exactly
+    like its .at write (pinned bitwise by
+    tests/test_dense_gcm.py::TestFusedDenseStep, including hand-built
+    states with pre-existing content at row/col num_nodes). The logical-
     index mirror of RingDenseGCM._selector_row_col."""
     from gcm_tpu.edges.chain import EdgeChain
     from gcm_tpu.edges.dense import DenseEdge
@@ -329,11 +330,12 @@ class DenseGCM:
         """Single-rewrite step (config.DENSE_FUSED_STEP): wraparound shift,
         node insert, and every selector write compose into one select per
         array — the dense-core mirror of RingDenseGCM._call_fused, at the
-        logical index num_nodes[b] instead of the ring cursor. Relies on the
-        state invariant that rows/columns >= num_nodes are zero (append-only
-        writes; the wrap shift zeroes what becomes row/col N-1), so the
-        selector row/col vectors compose from zero. Bitwise-identical to the
-        unfused step (tests/test_dense_gcm.py::TestFusedDenseStep)."""
+        logical index num_nodes[b] instead of the ring cursor. The selector
+        row/col vectors are seeded from the post-wrap base content at that
+        index, so composition is exactly write-equivalent — bitwise
+        identical to the unfused step even for hand-constructed states
+        with content at row/col num_nodes
+        (tests/test_dense_gcm.py::TestFusedDenseStep)."""
         nodes, adj, weights, num_nodes = state
         B = x.shape[0]
         N = self.graph_size
@@ -351,8 +353,18 @@ class DenseGCM:
                           nodes)
         dirty_nodes = nodes
 
-        row = jnp.zeros((B, N), adj.dtype)
-        col = jnp.zeros((B, N), adj.dtype)
+        # seed the row/col vectors from the POST-WRAP base content at index
+        # num2 (not zeros): selectors compose on top exactly like their .at
+        # writes, so hand-constructed states with content at row/col
+        # num_nodes (legal API input — the reference wrap test builds one)
+        # round-trip bit-exactly. For overflowing batches num2 = N-1 and the
+        # wrap shift zeroes the last row/col, so the base there is zero.
+        ov = over[:, None]
+        safe = jnp.clip(num2, 0, N - 1)
+        row = jnp.where(ov, 0.0, adj[b_idx, safe, :])
+        col = jnp.where(ov, 0.0,
+                        jnp.take_along_axis(adj, safe[:, None, None],
+                                            axis=2)[:, :, 0])
         if self.edge_selectors is not None:
             sub = None
             if key is not None:
