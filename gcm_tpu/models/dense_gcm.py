@@ -126,17 +126,50 @@ def _scan_with_resets(core, params, xs, state, key=None, dones=None,
     return jnp.swapaxes(outs, 0, 1), final_state
 
 
-def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
-    """Row/column-vector form of the dense edge selectors: returns the
-    contents of adjacency row num_nodes[b] and column num_nodes[b]
-    ([B, N] each) after applying `sel` on top of the running (row, col) —
-    the dense core's fused step (config.DENSE_FUSED_STEP) materializes them
-    in ONE pointwise rewrite. The incoming (row, col) are seeded from the
-    post-wrap base state, so each selector's vector update composes exactly
-    like its .at write (pinned bitwise by
-    tests/test_dense_gcm.py::TestFusedDenseStep, including hand-built
-    states with pre-existing content at row/col num_nodes). The logical-
-    index mirror of RingDenseGCM._selector_row_col."""
+class _RowColAcc:
+    """Accumulates the fused dense step's row/column updates at index
+    num_nodes[b] as (value, written-mask) pairs, so the final rewrite can
+    fall back to the POST-WRAP base pointwise — no base gathers for the
+    constant-valued selectors (temporal/dense/distance). Selectors that
+    read old values (LearnedEdge's ste-of-sum, learned temporal's add)
+    materialize the base row lazily via `base_row_fn`, exactly once."""
+
+    def __init__(self, B, N, dtype, base_row_fn):
+        self.row = jnp.zeros((B, N), dtype)
+        self.col = jnp.zeros((B, N), dtype)
+        self.row_m = jnp.zeros((B, N), bool)
+        self.col_m = jnp.zeros((B, N), bool)
+        self._base_row_fn = base_row_fn
+        self._base_row = None
+
+    def cur_row(self):
+        """Current content of row num_nodes[b] (base where unwritten)."""
+        if self._base_row is None:
+            self._base_row = self._base_row_fn()
+        return jnp.where(self.row_m, self.row, self._base_row)
+
+    def set_row(self, mask, value):
+        self.row = jnp.where(mask, value, self.row)
+        self.row_m = self.row_m | mask
+
+    def set_col(self, mask, value):
+        self.col = jnp.where(mask, value, self.col)
+        self.col_m = self.col_m | mask
+
+    def set_row_full(self, value):
+        self.row = value
+        self.row_m = jnp.ones_like(self.row_m)
+
+
+def _dense_selector_row_col(sel, params, nodes, acc, num_nodes, key):
+    """Row/column-vector form of the dense edge selectors: records into
+    `acc` the writes `sel` would make to adjacency row/column num_nodes[b]
+    — the dense core's fused step (config.DENSE_FUSED_STEP) materializes
+    them in ONE pointwise rewrite over the post-wrap base. Pinned bitwise
+    against the selectors' .at writes, including hand-built states with
+    pre-existing content at row/col num_nodes
+    (tests/test_dense_gcm.py::TestFusedDenseStep). The logical-index mirror
+    of RingDenseGCM._selector_row_col."""
     from gcm_tpu.edges.chain import EdgeChain
     from gcm_tpu.edges.dense import DenseEdge
     from gcm_tpu.edges.distance import Distance
@@ -154,28 +187,30 @@ def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
-            row, col = _dense_selector_row_col(s, sp, nodes, row, col,
-                                               num_nodes, sub)
-        return row, col
+            _dense_selector_row_col(s, sp, nodes, acc, num_nodes, sub)
+        return
 
     if isinstance(sel, TemporalBackedge):
         if sel.learned:
-            row = row + sel._learned_update(params, num_nodes, N, key)
-            return row, col
+            # .at[row].add(update): rewrites the WHOLE row with old+update
+            acc.set_row_full(acc.cur_row()
+                             + sel._learned_update(params, num_nodes, N,
+                                                   key))
+            return
         for hop in sel.hops:
             ok = num_nodes >= hop
             hit = (iota == jnp.clip(num_nodes - hop, 0, N - 1)[:, None]) \
                 & ok[:, None]
             if sel.direction in ("forward", "both"):
-                row = jnp.where(hit, 1.0, row)
+                acc.set_row(hit, 1.0)
             if sel.direction in ("backward", "both"):
-                col = jnp.where(hit, 1.0, col)
-        return row, col
+                acc.set_col(hit, 1.0)
+        return
 
     if isinstance(sel, DenseEdge):
-        row = jnp.where(iota <= num_nodes[:, None], 1.0, row)  # incl. self
-        col = jnp.where(past, 1.0, col)
-        return row, col
+        acc.set_row(iota <= num_nodes[:, None], 1.0)  # incl. self
+        acc.set_col(past, 1.0)
+        return
 
     if isinstance(sel, Distance):
         scored = nodes / params["dist_param"] if sel.learned else nodes
@@ -183,10 +218,10 @@ def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
         mask = (sel.dist_fn(curr, scored) < sel.max_distance) & past
         if sel.window is not None:
             mask = mask & (iota >= num_nodes[:, None] - sel.window)
-        row = jnp.where(mask, 1.0, row)
+        acc.set_row(mask, 1.0)
         if sel.bidirectional:
-            col = jnp.where(mask, 1.0, col)
-        return row, col
+            acc.set_col(mask, 1.0)
+        return
 
     if isinstance(sel, LearnedEdge):
         curr = nodes[b_idx, jnp.clip(num_nodes, 0, N - 1)]
@@ -201,8 +236,10 @@ def _dense_selector_row_col(sel, params, nodes, row, col, num_nodes, key):
             cutoff = 1.0 / (1 + sel.num_edge_samples)
             soft = gumbel_softmax(key, shaped, axis=-1)
             edges = ste(soft - cutoff)
-        row = jnp.where(past, ste(edges + row), row)
-        return row, col
+        old_row = acc.cur_row()
+        # .at[row].set(...): rewrites the whole row
+        acc.set_row_full(jnp.where(past, ste(edges + old_row), old_row))
+        return
 
     raise NotImplementedError(
         f"dense fused step: unsupported selector {sel}")
@@ -353,25 +390,28 @@ class DenseGCM:
                           nodes)
         dirty_nodes = nodes
 
-        # seed the row/col vectors from the POST-WRAP base content at index
-        # num2 (not zeros): selectors compose on top exactly like their .at
-        # writes, so hand-constructed states with content at row/col
-        # num_nodes (legal API input — the reference wrap test builds one)
-        # round-trip bit-exactly. For overflowing batches num2 = N-1 and the
-        # wrap shift zeroes the last row/col, so the base there is zero.
+        # accumulate selector writes as (value, written-mask) pairs; the
+        # final rewrite falls back to the POST-WRAP base pointwise, so
+        # hand-constructed states with content at row/col num_nodes (legal
+        # API input — the reference wrap test builds one) round-trip
+        # bit-exactly WITHOUT base gathers on the constant-valued selector
+        # paths (the zero-seed version cleared such content; the
+        # base-seeded version cost 2x in gathers — MEASURE_r4/dense_fused).
         ov = over[:, None]
         safe = jnp.clip(num2, 0, N - 1)
-        row = jnp.where(ov, 0.0, adj[b_idx, safe, :])
-        col = jnp.where(ov, 0.0,
-                        jnp.take_along_axis(adj, safe[:, None, None],
-                                            axis=2)[:, :, 0])
+
+        def base_row_fn():
+            # only materialized for selectors that read old row values
+            return jnp.where(ov, 0.0, adj[b_idx, safe, :])
+
+        acc = _RowColAcc(B, N, adj.dtype, base_row_fn)
         if self.edge_selectors is not None:
             sub = None
             if key is not None:
                 key, sub = jax.random.split(key)
-            row, col = _dense_selector_row_col(
+            _dense_selector_row_col(
                 self.edge_selectors, params.get("edge_selectors"),
-                dirty_nodes, row, col, num2, sub)
+                dirty_nodes, acc, num2, sub)
 
         if self.preprocessor is not None:
             dirty_nodes = self.preprocessor(params["preprocessor"],
@@ -385,15 +425,17 @@ class DenseGCM:
             if self.positional_encoder is not None:
                 enc = self.positional_encoder(
                     params["positional_encoder"], dirty_nodes, num2)
-            row, col = _dense_selector_row_col(
+            _dense_selector_row_col(
                 self.aux_edge_selectors, params.get("aux_edge_selectors"),
-                enc, row, col, num2, sub)
+                enc, acc, num2, sub)
 
-        # ONE adjacency rewrite: wrap shift + row/col writes at num2
+        # ONE adjacency rewrite: wrap shift + masked row/col writes at num2
         adj_w = jnp.pad(adj[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
         base = jnp.where(om, adj_w, adj)
-        adj = jnp.where(i_eq[:, :, None], row[:, None, :],
-                        jnp.where(i_eq[:, None, :], col[:, :, None], base))
+        adj = jnp.where(i_eq[:, :, None] & acc.row_m[:, None, :],
+                        acc.row[:, None, :],
+                        jnp.where(i_eq[:, None, :] & acc.col_m[:, :, None],
+                                  acc.col[:, :, None], base))
         if weights.size > 0:
             w_w = jnp.pad(weights[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
             weights = jnp.where(om, w_w, weights)
