@@ -142,6 +142,43 @@ def scored_fn(kind, use_window, train=False):
     return fn
 
 
+def dense_scored_model(kind):
+    """DenseGCM on the same euclidean/learned configs as scored_model —
+    the head-to-head counterpart now that DENSE_FUSED_STEP covers the
+    scored selectors (dense_gcm.py::_dense_selector_row_col)."""
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.edges.learned import LearnedEdge
+    from gcm_tpu.models.dense_gcm import DenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    sel = (EuclideanEdge(max_distance=1.0) if kind == "euclidean"
+           else LearnedEdge(input_size=OBS, deterministic=True))
+    return DenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                    edge_selectors=sel, graph_size=N)
+
+
+def core_fn(model, unroll, train=False):
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def loss(p, xs):
+        outs, _ = model.scan(p, xs, state0, unroll=unroll)
+        return jnp.sum(outs ** 2)
+
+    def fn(xs, T):
+        if train:
+            g = jax.grad(loss)(params, xs)
+            return sum(jnp.sum(leaf)
+                       for leaf in jax.tree_util.tree_leaves(g))
+        outs, _ = model.scan(params, xs, state0, unroll=unroll)
+        return jnp.sum(outs)
+
+    return fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -152,6 +189,11 @@ def main():
     ap.add_argument("--dense-fused", action="store_true",
                     help="measure DENSE_FUSED_STEP (one select per array) "
                          "vs the unfused dense step, fwd and train, u1/u4")
+    ap.add_argument("--head2head", action="store_true",
+                    help="dense-fused core vs ring-fused core at their "
+                         "per-core default unrolls, same pass, on the "
+                         "temporal/euclidean/learned configs (decides the "
+                         "core='auto' general-selector fallback)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -164,6 +206,39 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.head2head:
+        # Per-core production defaults: dense scans at config.SCAN_UNROLL
+        # (fused prefers u4 — the wrap-shift gather precludes in-place
+        # aliasing), ring at config.RING_SCAN_UNROLL (u1 — protects the
+        # in-place carry rewrite). Train measured at u4 on both (the
+        # backward has no in-place rewrite to protect; BASELINE.md r4).
+        assert config.DENSE_FUSED_STEP and config.RING_FUSED_STEP
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        builds = {
+            "temporal": (lambda: readme_dense_gcm(obs_size=OBS, hidden=HID,
+                                                  graph_size=N),
+                         ring_model),
+            "euclidean": (lambda: dense_scored_model("euclidean"),
+                          lambda: scored_model("euclidean")),
+            "learned": (lambda: dense_scored_model("learned"),
+                        lambda: scored_model("learned")),
+        }
+        for i, (kind, (mk_dense, mk_ring)) in enumerate(builds.items()):
+            for j, (tag, mk, unroll) in enumerate(
+                    (("dense", mk_dense, config.SCAN_UNROLL),
+                     ("ring", mk_ring, config.RING_SCAN_UNROLL))):
+                rate, slope = slope_rate(core_fn(mk(), unroll),
+                                         *args.t_dense, seed=401 + 10 * i + j)
+                record(f"{kind}_{tag}_fwd", rate, slope)
+                rate, slope = slope_rate(core_fn(mk(), 4, train=True),
+                                         *args.t_dense, seed=451 + 10 * i + j)
+                record(f"{kind}_{tag}_train", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     if args.dense_fused:
         prev = config.DENSE_FUSED_STEP

@@ -216,3 +216,66 @@ class TestFusedRingProperty:
                                            atol=2e-5, rtol=0)
         finally:
             config.RING_FUSED_STEP = prev
+
+
+class TestFusedDenseProperty:
+    """Property fuzz over the round-4 dense fused step (the flipped
+    DENSE_FUSED_STEP default): for random selector chains, shapes, and
+    warm-up lengths (including wrapped-around warm states built by the
+    unfused step), the fused step must be BITWISE equal to the unfused
+    step on outputs and the full final state. The hand-enumerated mirror
+    is tests/test_dense_gcm.py::TestFusedDenseStep."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 3),            # batch
+        st.integers(4, 9),            # graph size N
+        st.integers(3, 7),            # feature dim
+        st.integers(1, 22),           # trajectory length
+        st.integers(0, 9),            # warm-up steps before comparing
+        st.lists(st.sampled_from(["temporal1", "temporal2", "dense",
+                                  "euclid", "spatial"]),
+                 min_size=1, max_size=2, unique=True),
+        st.integers(0, 2 ** 31 - 1),  # seed
+    )
+    def test_fused_bitwise_parity(self, B, N, F, T, warm, kinds, seed):
+        from gcm_tpu import config
+        from gcm_tpu.edges.chain import EdgeChain
+        from gcm_tpu.edges.dense import DenseEdge
+        from gcm_tpu.edges.distance import EuclideanEdge, SpatialEdge
+        from gcm_tpu.edges.temporal import TemporalBackedge
+        from gcm_tpu.models.dense_gcm import DenseGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+
+        mk = {
+            "temporal1": lambda: TemporalBackedge([1]),
+            "temporal2": lambda: TemporalBackedge([2], direction="both"),
+            "dense": lambda: DenseEdge(),
+            "euclid": lambda: EuclideanEdge(max_distance=1.5),
+            "spatial": lambda: SpatialEdge(1.0, slice(0, min(2, F))),
+        }
+        sels = [mk[k]() for k in kinds]
+        sel = sels[0] if len(sels) == 1 else EdgeChain(sels)
+        gnn = DenseGNN([DenseGraphConv(F, F), jnp.tanh,
+                        DenseGraphConv(F, F), jnp.tanh])
+        model = DenseGCM(gnn, edge_selectors=sel, graph_size=N)
+        params = model.init(jax.random.PRNGKey(seed % 10_000))
+        st0 = model.initial_state(B, F)
+        prev = config.DENSE_FUSED_STEP
+        try:
+            if warm:
+                xs_w = jax.random.normal(jax.random.PRNGKey(seed % 997),
+                                         (B, warm, F))
+                config.DENSE_FUSED_STEP = False
+                _, st0 = model.scan(params, xs_w, st0)
+            xs = jax.random.normal(jax.random.PRNGKey(seed % 9991),
+                                   (B, T, F))
+            config.DENSE_FUSED_STEP = False
+            o_u, f_u = model.scan(params, xs, st0)
+            config.DENSE_FUSED_STEP = True
+            o_f, f_f = model.scan(params, xs, st0)
+            np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_f))
+            for a, b in zip(f_u, f_f):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        finally:
+            config.DENSE_FUSED_STEP = prev
