@@ -102,18 +102,36 @@ class NavGCMSortCap(NavGCM):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--v", type=int, default=V,
+                    help="max_verts — the incremental core's predicted "
+                         "winning regime is large V (BASELINE.md nav "
+                         "roofline: full recompute's structural overhead "
+                         "is ~V/tau)")
+    ap.add_argument("--f", type=int, default=F)
+    ap.add_argument("--skip-sort", action="store_true",
+                    help="skip the reconstructed round-2 sort variant")
+    args = ap.parse_args()
+    global V, F
+    V, F = args.v, args.f
+
     out = {}
     gnn = make_gnn()
     full = NavGCM(gnn, max_verts=V, edge_method="radius", r=2.0, k=16)
     params = full.init(jax.random.PRNGKey(0))
 
-    for name, model in [
+    variants = [
         ("nav_sort", NavGCMSortCap(gnn, max_verts=V, edge_method="radius",
                                    r=2.0, k=16)),
         ("nav_full", full),
         ("nav_inc", NavGCMIncremental(gnn, max_verts=V,
                                       edge_method="radius", r=2.0, k=16)),
-    ]:
+    ]
+    if args.skip_sort:
+        variants = variants[1:]
+    for name, model in variants:
         rate = measure_model(model, params, seed=53)
         out[name] = {"timesteps_per_s": round(rate)}
         print(json.dumps({name: out[name]}), flush=True)

@@ -42,17 +42,27 @@ def timed_unique(fn, inputs):
 
 
 def slope_rate(make_fn, T_lo, T_hi, seed):
-    """Per-timestep rate (B timesteps per batch-step) from the T slope."""
+    """Per-timestep rate (B timesteps per batch-step) from the T slope.
+
+    Degenerate slopes (t_hi <= t_lo: tunnel jitter between the two T
+    points swamped the marginal cost) retry up to twice with fresh
+    inputs — the same guard bench.py grew after a 6.1e12 ts/s artifact
+    got recorded (MEASURE_r4/window_reconcile2)."""
     jf = jax.jit(make_fn, static_argnames=("T",))
 
-    def measure(T):
+    def measure(T, salt):
         inputs = [
-            (jax.random.normal(jax.random.PRNGKey(seed * T + i), (B, T, OBS)),)
+            (jax.random.normal(jax.random.PRNGKey(seed * T + salt + i),
+                               (B, T, OBS)),)
             for i in range(REPEATS + 1)
         ]
         return timed_unique(lambda x: jf(x, T=T), inputs)
 
-    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    for attempt in range(3):
+        raw = measure(T_hi, 1000 * attempt) - measure(T_lo, 1000 * attempt)
+        if raw > 0:
+            break
+    slope = max(raw, 1e-9) / (T_hi - T_lo)
     return B / slope, slope
 
 

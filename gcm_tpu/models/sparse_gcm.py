@@ -27,14 +27,16 @@ fixed-iteration reachability mask: max_hops rounds of sink→source
 propagation from the output nodes mark the k-hop node set, and the GNN runs
 with edges outside that set sentinel-masked — semantically identical to
 k_hop_subgraph, including the truncation regime (tests/test_max_hops.py).
-NOTE the mask reproduces the reference's *semantics*, not its *work
+NOTE the mask alone reproduces the reference's *semantics*, not its *work
 reduction*: the GNN still aggregates the full padded edge list with masked
 lanes (fixed shapes — a smaller subgraph would be a dynamic shape XLA
-cannot compile). At the memory-graph sizes this library targets the masked
-lanes are bandwidth-free (the SpMM is edge-list-bounded, not
-subgraph-bounded); a workload with graph_size >> reachable-set size would
-want a gather-compacted variant (capacity-bounded node list + edge
-re-indexing) — not built, measured unnecessary at current sizes.
+cannot compile). For graph_size >> reachable-set workloads, `hop_cap=K`
+additionally gather-compacts the subgraph to a capacity-bounded node list
+with re-indexed edges (the reference's "for efficiency" behavior under
+static shapes): the GNN then runs on [B, K, F] instead of [B, N, F].
+Newest-reachable-first compaction keeps output nodes under truncation;
+overflow (reachable > K) drops the oldest subgraph nodes and is surfaced
+as aux["hop_overflow"].
 
 Overflow: the reference raises (sparse_gcm.py:120-121). Inside jit we cannot
 raise; writes beyond capacity are dropped (trash row) — call
@@ -64,6 +66,7 @@ class SparseGCM:
         graph_size: int = 128,
         max_edges: int = 1024,
         max_hops: int | None = None,
+        hop_cap: int | None = None,
         positional_encoder=None,
         validate: bool = False,
         aggregation: str = "auto",
@@ -77,6 +80,21 @@ class SparseGCM:
         self.graph_size = graph_size
         self.max_edges = max_edges
         self.max_hops = max_hops
+        # hop_cap: gather-compact the k-hop subgraph to this many nodes so
+        # the GNN's per-node work scales with the REACHABLE set instead of
+        # graph_size — the reference's k_hop_subgraph is a work reduction,
+        # not just a semantics restriction (sparse_gcm.py:176-199 "for
+        # efficiency"); the plain max_hops mask reproduces only the
+        # semantics. Newest-reachable-first compaction: output nodes always
+        # survive truncation (cap must cover the window, asserted at trace
+        # time); overflow drops the OLDEST reachable nodes and is surfaced
+        # in aux["hop_overflow"].
+        if hop_cap is not None:
+            assert max_hops is not None, "hop_cap requires max_hops"
+            assert aggregation != "slots", (
+                "hop_cap compaction composes with the default aggregation "
+                "path; slot buckets are sized for the uncompacted graph")
+        self.hop_cap = hop_cap
         self.positional_encoder = positional_encoder
         self.validate = validate
         # aggregation="slots": route the GNN aggregation through the
@@ -284,8 +302,15 @@ class SparseGCM:
         # SpMM aggregates source -> sink directly; reference flattens for
         # torch_geometric ingestion, sparse_gcm.py:165-178)
         gnn_edges, gnn_weights = edges, weights
+        gnn_nodes = dirty_nodes
+        out_rows, out_n = rows, N
         if self.max_hops is not None:
             gnn_edges = self._k_hop_edge_mask(edges, new_mask, rows, N)
+            if self.hop_cap is not None:
+                (gnn_nodes, gnn_edges, out_rows,
+                 aux["hop_overflow"]) = self._compact_reachable(
+                    dirty_nodes, gnn_edges, new_mask, rows, t)
+                out_n = self.hop_cap
         if self.aggregation == "slots":
             from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
                                                        spmm_slots)
@@ -301,15 +326,17 @@ class SparseGCM:
                 params["gnn"], dirty_nodes, gnn_edges, gnn_weights,
                 agg_fn=lambda xx: spmm_slots(xx, srcs, ws_l, N, self.slot_k))
         else:
-            node_feats = self.gnn(params["gnn"], dirty_nodes, gnn_edges,
+            node_feats = self.gnn(params["gnn"], gnn_nodes, gnn_edges,
                                   gnn_weights)
         aux["dropped_edges"] = dropped_total
 
         # gather outputs at the new rows; padding stays zero
-        # (sparse_gcm.py:205-208)
-        safe_rows = jnp.clip(rows, 0, N - 1)
+        # (sparse_gcm.py:205-208). Under hop_cap the rows live in compacted
+        # coordinates (and are -1 if an output node ever fell to overflow).
+        safe_rows = jnp.clip(out_rows, 0, out_n - 1)
         mx = jnp.take_along_axis(node_feats, safe_rows[..., None], axis=1)
-        mx = jnp.where(new_mask[..., None], mx, 0.0)
+        out_ok = new_mask & (out_rows >= 0)
+        mx = jnp.where(out_ok[..., None], mx, 0.0)
 
         new_state = SparseGraphState(nodes, edges, weights, T + taus, num_edges)
         if return_aux:
@@ -340,6 +367,54 @@ class SparseGCM:
                 & jnp.take_along_axis(reach, sink, axis=1)
                 & jnp.take_along_axis(reach, src, axis=1))
         return jnp.where(keep[:, None, :], edges, -1)
+
+    def _compact_reachable(self, dirty_nodes, masked_edges, new_mask, rows,
+                           t):
+        """Gather the k-hop subgraph into a [B, hop_cap, F] node buffer with
+        remapped edges — the reference k_hop_subgraph's WORK reduction
+        (sparse_gcm.py:176-199 extracts the subgraph "for efficiency"; the
+        mask in _k_hop_edge_mask reproduces only its semantics). A node
+        survives iff it is an output node or an endpoint of a kept edge
+        (isolated reachable nodes cannot affect aggregation). Compaction is
+        newest-first, so on overflow the OLDEST subgraph nodes drop and the
+        output rows always survive while hop_cap >= t (asserted).
+
+        Returns (nodes_sub [B,cap,F], edges_sub [B,2,E] in compacted ids,
+        rows_sub [B,t] compacted output rows (-1 where padded/dropped),
+        overflow [B] count of reachable nodes beyond cap)."""
+        cap = self.hop_cap
+        assert cap >= t, (
+            f"hop_cap={cap} must cover the window length t={t} so output "
+            f"nodes survive compaction")
+        B, N, _ = dirty_nodes.shape
+        sink, src = masked_edges[:, 0, :], masked_edges[:, 1, :]
+        valid = (sink >= 0) & (src >= 0)
+        b = jnp.arange(B)[:, None]
+        used = jnp.zeros((B, N), bool)
+        used = used.at[b, jnp.clip(rows, 0, N - 1)].max(new_mask)
+        used = used.at[b, jnp.where(valid, sink, 0)].max(valid)
+        used = used.at[b, jnp.where(valid, src, 0)].max(valid)
+        # newest-first: nonzero over the index-reversed mask keeps the
+        # LARGEST node ids (edges are causal sink>source, so outputs are the
+        # newest used nodes) under truncation
+        idx_r, ok, count = nonzero_padded(used[:, ::-1], cap)
+        idx = jnp.where(ok, N - 1 - idx_r, N)  # invalid lanes -> trash col
+        overflow = jnp.maximum(count - cap, 0)
+        lane = jnp.broadcast_to(
+            jnp.arange(cap, dtype=jnp.int32)[None, :], idx.shape)
+        inv = jnp.full((B, N + 1), -1, jnp.int32)
+        inv = inv.at[b, idx].set(jnp.where(ok, lane, -1))[:, :N]
+        nodes_sub = jnp.take_along_axis(
+            dirty_nodes, jnp.clip(idx, 0, N - 1)[..., None], axis=1)
+        nodes_sub = jnp.where(ok[..., None], nodes_sub, 0.0)
+        sink_sub = jnp.take_along_axis(inv, jnp.clip(sink, 0, N - 1), axis=1)
+        src_sub = jnp.take_along_axis(inv, jnp.clip(src, 0, N - 1), axis=1)
+        keep = valid & (sink_sub >= 0) & (src_sub >= 0)
+        edges_sub = jnp.where(keep[:, None, :],
+                              jnp.stack([sink_sub, src_sub], axis=1), -1)
+        rows_sub = jnp.take_along_axis(inv, jnp.clip(rows, 0, N - 1), axis=1)
+        rows_sub = jnp.where(new_mask, rows_sub, -1)
+        return nodes_sub, edges_sub, rows_sub, overflow
 
     def check_overflow(self, state: SparseGraphState, taus) -> None:
         """Outside-jit guard replicating the reference's raise

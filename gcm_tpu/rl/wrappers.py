@@ -163,12 +163,18 @@ class GCMActorCritic:
     def _resolve_auto_core(self):
         """core='auto': pick the fastest parity core the selector structure
         provably supports (dispatch-by-measurement: each rule below is
-        backed by a BASELINE.md measurement), else 'ring'. Conservative —
-        any aux machinery or custom GNN falls back to the general core."""
+        backed by a BASELINE.md measurement), else 'dense'. Conservative —
+        any aux machinery or custom GNN falls back to the general core.
+        The general-core fallback is 'dense' (not 'ring') since round 4's
+        fused dense step: head-to-head at per-core default unrolls the
+        dense core wins or ties every family — temporal fwd 4.0 vs 3.9M /
+        train 1.38 vs 1.09M, euclid fwd wash / train 1.20 vs 0.98M,
+        learned fwd 2.5 vs 2.1M / train wash (MEASURE_r4/head2head2.log;
+        the bench pass agrees on all three)."""
         cfg = self.cfg
         if (cfg["aux_edge_selectors"] or cfg["positional_encoding"]
                 or cfg["pooled"] or cfg["edge_weights"]):
-            return "ring"
+            return "dense"
         if cfg["gnn"] is not None:
             # custom GNNs qualify when they fit the fast cores' analytic
             # pattern (DenseGraphConv add/mean + tanh/relu)
@@ -176,7 +182,7 @@ class GCMActorCritic:
 
             if not (isinstance(cfg["gnn"], DenseGNN) and plan_conv_stack(
                     cfg["gnn"].layers, allowed_aggrs=("add", "mean"))):
-                return "ring"
+                return "dense"
         sel = cfg["edge_selectors"]
         from gcm_tpu.edges.chain import EdgeChain
         from gcm_tpu.edges.dense import DenseEdge as DenseEdgeSel
@@ -202,7 +208,7 @@ class GCMActorCritic:
                 # adjacency below graph_size≈256 (BASELINE.md)
                 and cfg["graph_size"] >= 256):
             return "banded_scored"
-        return "ring"
+        return "dense"
 
     def _build_core(self):
         if self.cfg["core"] == "auto":

@@ -102,8 +102,13 @@ class SessionServer:
             merged = jax.tree_util.tree_map(merge, new_state, state)
             return beliefs, merged
 
-        self._step = jax.jit(masked_step)
-        self._reset_rows = jax.jit(reset_where)
+        # Donate the pool: the server always adopts the returned state and
+        # never re-reads the previous buffer (snapshot() copies to host), so
+        # XLA may update the [capacity, N, ...] pool in place — halves the
+        # pool's HBM high-water and lets the masked merge alias its output.
+        # Backends that cannot donate just ignore the hint.
+        self._step = jax.jit(masked_step, donate_argnums=(2,))
+        self._reset_rows = jax.jit(reset_where, donate_argnums=(0,))
 
     @classmethod
     def from_policy(cls, policy, params, capacity: int):

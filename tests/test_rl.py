@@ -337,7 +337,8 @@ class TestTrainerOptKnobs:
 
 class TestAutoCore:
     """core='auto' picks the fastest parity core the selector structure
-    provably supports (per the BASELINE.md measurements), else ring."""
+    provably supports (per the BASELINE.md measurements), else the dense
+    core (fused-step head-to-head, MEASURE_r4/head2head2.log)."""
 
     def test_auto_selection_rules(self):
         from gcm_tpu.edges.chain import EdgeChain
@@ -348,22 +349,22 @@ class TestAutoCore:
         cases = [
             (dict(edge_selectors=TemporalBackedge([1, 2])), "banded"),
             (dict(edge_selectors=TemporalBackedge([1], learned=True)),
-             "ring"),
+             "dense"),
             (dict(edge_selectors=DenseEdge()), "clique"),
             (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
                   graph_size=512), "banded_scored"),
-            # below the measured banded_scored crossover -> ring
+            # below the measured banded_scored crossover -> general core
             (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
-                  graph_size=64), "ring"),
+                  graph_size=64), "dense"),
             (dict(edge_selectors=EdgeChain([
                 TemporalBackedge([1]),
                 EuclideanEdge(max_distance=1.0, window=8)]),
                   graph_size=512), "banded_scored"),
             # unwindowed distance cannot use the band
-            (dict(edge_selectors=EuclideanEdge(max_distance=1.0)), "ring"),
+            (dict(edge_selectors=EuclideanEdge(max_distance=1.0)), "dense"),
             # aux machinery falls back to the general core
             (dict(edge_selectors=TemporalBackedge([1]), pooled=True),
-             "ring"),
+             "dense"),
             # custom GNN fitting the fast-core pattern stays eligible
             (dict(edge_selectors=TemporalBackedge([1]),
                   gnn=__import__("gcm_tpu.nn.dense_conv",
@@ -379,7 +380,7 @@ class TestAutoCore:
                       [__import__("gcm_tpu.nn.dense_conv",
                                   fromlist=["DenseGraphConv"]
                                   ).DenseGraphConv(16, 16, aggr="max"),
-                       jnp.tanh])), "ring"),
+                       jnp.tanh])), "dense"),
         ]
         for over, want in cases:
             pol = make_policy(env, core="auto", **over)
