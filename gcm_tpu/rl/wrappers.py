@@ -58,6 +58,10 @@ SPARSE_DEFAULT_CONFIG = {
     **DENSE_DEFAULT_CONFIG,
     "max_edges": 512,
     "max_hops": None,
+    # gather-compact the k-hop subgraph to this many nodes (the reference
+    # k_hop_subgraph's work reduction; requires max_hops; overflow counts
+    # surface as aux["hop_overflow"])
+    "hop_cap": None,
     # GNN aggregation backend: "auto" (dispatched SpMM) | "slots" (the
     # degree-bounded sink-slot kernel, measured 4.3x on temporal graphs —
     # BASELINE.md). slot_k = per-(sink, src-window) degree bound; None
@@ -437,6 +441,7 @@ class SparseGCMActorCritic(GCMActorCritic):
             graph_size=self.cfg["graph_size"],
             max_edges=self.cfg["max_edges"],
             max_hops=self.cfg["max_hops"],
+            hop_cap=self.cfg["hop_cap"],
             positional_encoder=pe,
             aggregation=self.cfg["aggregation"],
             slot_k=slot_k,

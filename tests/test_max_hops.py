@@ -86,3 +86,112 @@ def test_max_hops_at_depth_is_output_invariant():
     out2, _ = m2(params, xs, taus, m2.initial_state(B, F))
     outf, _ = mf(params, xs, taus, mf.initial_state(B, F))
     assert jnp.allclose(out2, outf, atol=1e-6)
+
+
+class TestHopCapCompaction:
+    """hop_cap gather-compacts the k-hop subgraph (the reference
+    k_hop_subgraph's work reduction, sparse_gcm.py:176-199): the GNN runs
+    on [B, cap, F]. Must match the masked max_hops path whenever the
+    reachable set fits the cap."""
+
+    def _pair(self, cap, hops=1, graph=N):
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh, GraphConv(F, F),
+                         jnp.tanh])
+        kw = dict(edge_selectors=TemporalEdge([1, 2]), graph_size=graph,
+                  max_edges=E)
+        masked = SparseGCM(gnn, max_hops=hops, **kw)
+        compact = SparseGCM(gnn, max_hops=hops, hop_cap=cap, **kw)
+        params = masked.init(jax.random.PRNGKey(0))
+        return masked, compact, params
+
+    def test_matches_masked_path_across_windows(self):
+        masked, compact, params = self._pair(cap=N)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, t, F))
+        taus = jnp.full((B,), t, jnp.int32)
+        t0 = 4
+        sm = masked.initial_state(B, F)
+        sc = compact.initial_state(B, F)
+        for sl in (slice(None, t0), slice(t0, None)):
+            w = xs[:, sl]
+            tw = jnp.full((B,), w.shape[1], jnp.int32)
+            om, sm = masked(params, w, tw, sm)
+            oc, sc = compact(params, w, tw, sc)
+            np.testing.assert_allclose(np.asarray(om), np.asarray(oc),
+                                       atol=1e-5, rtol=0)
+        # persistent state identical (compaction is GNN-local)
+        for a, b in zip(sm, sc):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_truncation_regime_matches(self):
+        # max_hops=1 < GNN depth 2: the truncated receptive field must
+        # survive compaction identically
+        masked, compact, params = self._pair(cap=N, hops=1)
+        xs = jax.random.normal(jax.random.PRNGKey(2), (B, t, F))
+        t0 = 4
+        sm = masked.initial_state(B, F)
+        sc = compact.initial_state(B, F)
+        for sl in (slice(None, t0), slice(t0, None)):
+            w = xs[:, sl]
+            tw = jnp.full((B,), w.shape[1], jnp.int32)
+            om, sm = masked(params, w, tw, sm)
+            oc, sc = compact(params, w, tw, sc)
+        np.testing.assert_allclose(np.asarray(om), np.asarray(oc),
+                                   atol=1e-5, rtol=0)
+
+    def test_tight_cap_is_exact_and_jits(self):
+        # reachable set for tau=2, hops=2, TemporalEdge[1,2]: outputs + up
+        # to 4 hops back = at most 6 nodes -> cap=8 is lossless
+        masked, compact, params = self._pair(cap=8, hops=2)
+        xs = jax.random.normal(jax.random.PRNGKey(3), (B, t, F))
+        sm = masked.initial_state(B, F)
+        sc = compact.initial_state(B, F)
+        fwd = jax.jit(lambda p, w, tw, s: compact(p, w, tw, s,
+                                                  return_aux=True))
+        for i in range(3):
+            w = xs[:, 2 * i: 2 * i + 2]
+            tw = jnp.full((B,), 2, jnp.int32)
+            om, sm = masked(params, w, tw, sm)
+            oc, sc, aux = fwd(params, w, tw, sc)
+            assert int(jnp.max(aux["hop_overflow"])) == 0
+            np.testing.assert_allclose(np.asarray(om), np.asarray(oc),
+                                       atol=1e-5, rtol=0)
+
+    def test_overflow_drops_oldest_and_counts(self):
+        # cap=3 < reachable set: overflow surfaces in aux and the outputs
+        # stay finite; output rows (the newest nodes) always survive
+        _, compact, params = self._pair(cap=3, hops=2)
+        xs = jax.random.normal(jax.random.PRNGKey(4), (B, t, F))
+        sc = compact.initial_state(B, F)
+        o1, sc = compact(params, xs[:, :3], jnp.full((B,), 3, jnp.int32), sc)
+        o2, sc, aux = compact(params, xs[:, 3:6],
+                              jnp.full((B,), 3, jnp.int32), sc,
+                              return_aux=True)
+        assert int(jnp.min(aux["hop_overflow"])) > 0
+        assert bool(jnp.all(jnp.isfinite(o2)))
+        # dropping the oldest reachable nodes diverges from the full path
+        masked, _, _ = self._pair(cap=3, hops=2)
+        smm = masked.initial_state(B, F)
+        _, smm = masked(params, xs[:, :3], jnp.full((B,), 3, jnp.int32), smm)
+        om, _ = masked(params, xs[:, 3:6], jnp.full((B,), 3, jnp.int32), smm)
+        assert not jnp.allclose(om, o2, atol=1e-6)
+
+    def test_cap_below_window_asserts(self):
+        _, compact, params = self._pair(cap=2, hops=1)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (B, t, F))
+        taus = jnp.full((B,), t, jnp.int32)
+        try:
+            compact(params, xs, taus, compact.initial_state(B, F))
+        except AssertionError as e:
+            assert "hop_cap" in str(e)
+        else:
+            raise AssertionError("expected hop_cap < t to assert")
+
+    def test_requires_max_hops(self):
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+        try:
+            SparseGCM(gnn, hop_cap=8, graph_size=N, max_edges=E)
+        except AssertionError as e:
+            assert "max_hops" in str(e)
+        else:
+            raise AssertionError("expected hop_cap without max_hops to "
+                                 "assert")
