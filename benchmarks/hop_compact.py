@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-B, TAU, F, CAP = 16, 8, 32, 32
+B, TAU, F, CAP, LAYERS = 16, 8, 32, 32, 2
 REPEATS = 5
 N_LO, N_HI = 2, 26
 
@@ -46,10 +46,13 @@ def make_model(graph_size, hop_cap):
     from gcm_tpu.models.sparse_gcm import SparseGCM
     from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
 
-    gnn = SparseGNN([GraphConv(F, F), jnp.tanh, GraphConv(F, F), jnp.tanh])
+    layers = []
+    for _ in range(LAYERS):
+        layers += [GraphConv(F, F), jnp.tanh]
+    gnn = SparseGNN(layers)
     return SparseGCM(gnn, edge_selectors=TemporalEdge([1, 2]),
                      graph_size=graph_size, max_edges=4 * graph_size,
-                     max_hops=2, hop_cap=hop_cap)
+                     max_hops=LAYERS, hop_cap=hop_cap)
 
 
 def measure(model, params, seed):
@@ -85,11 +88,18 @@ def measure(model, params, seed):
 
 
 def main():
+    global F, LAYERS, CAP
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[256, 1024, 4096])
+    ap.add_argument("--feat", type=int, default=F,
+                    help="feature width — the node-proportional GNN work "
+                         "the compaction removes scales with it")
+    ap.add_argument("--layers", type=int, default=LAYERS)
+    ap.add_argument("--cap", type=int, default=CAP)
     args = ap.parse_args()
+    F, LAYERS, CAP = args.feat, args.layers, args.cap
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -105,7 +115,8 @@ def main():
                   flush=True)
 
     print(json.dumps({"backend": jax.default_backend(),
-                      "workload": f"B={B} tau={TAU} F={F} hops=2 cap={CAP} "
+                      "workload": f"B={B} tau={TAU} F={F} hops={LAYERS} "
+                                  f"layers={LAYERS} cap={CAP} "
                                   f"TemporalEdge[1,2]",
                       "results": results}), flush=True)
 
