@@ -104,6 +104,7 @@ class NavGCMSortCap(NavGCM):
 def main():
     import argparse
 
+    global V, F
     ap = argparse.ArgumentParser()
     ap.add_argument("--v", type=int, default=V,
                     help="max_verts — the incremental core's predicted "
@@ -114,7 +115,6 @@ def main():
     ap.add_argument("--skip-sort", action="store_true",
                     help="skip the reconstructed round-2 sort variant")
     args = ap.parse_args()
-    global V, F
     V, F = args.v, args.f
 
     out = {}
