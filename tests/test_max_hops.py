@@ -195,3 +195,27 @@ class TestHopCapCompaction:
         else:
             raise AssertionError("expected hop_cap without max_hops to "
                                  "assert")
+
+    def test_grad_parity_with_masked_path(self):
+        # training through the compacted subgraph: grads wrt params and
+        # inputs must match the masked path when the cap is lossless
+        masked, compact, params = self._pair(cap=N, hops=1)
+        xs = jax.random.normal(jax.random.PRNGKey(6), (B, t, F))
+        taus = jnp.full((B,), t, jnp.int32)
+
+        def loss(model):
+            def f(p, x):
+                out, _ = model(p, x, taus, model.initial_state(B, F))
+                return jnp.sum(out ** 2)
+            return f
+
+        gm = jax.grad(loss(masked), argnums=(0, 1))(params, xs)
+        gc = jax.grad(loss(compact), argnums=(0, 1))(params, xs)
+        for a, b in zip(jax.tree_util.tree_leaves(gm),
+                        jax.tree_util.tree_leaves(gc)):
+            assert bool(jnp.all(jnp.isfinite(b)))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+        flat = jnp.concatenate([jnp.ravel(l)
+                                for l in jax.tree_util.tree_leaves(gc)])
+        assert float(jnp.linalg.norm(flat)) > 0
