@@ -59,6 +59,26 @@ class TestWrapper:
         assert np.allclose(np.array(l1), np.array(l2), atol=1e-4)
         assert np.allclose(np.array(v1), np.array(v2), atol=1e-4)
 
+    def test_sparse_hop_cap_config_path(self):
+        """hop_cap (the gather-compacted k-hop subgraph) is reachable from
+        the adapter config and matches the masked max_hops path."""
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+
+        env = RecallEnv(horizon=6)
+        common = dict(graph_size=128, gnn_input_size=8, gnn_output_size=8,
+                      max_hops=2, edge_selectors=TemporalEdge([1]))
+        pol_cap = SparseGCMActorCritic(env.obs_dim, env.num_actions,
+                                       env.num_actions, hop_cap=32, **common)
+        assert pol_cap.core.hop_cap == 32
+        pol_mask = SparseGCMActorCritic(env.obs_dim, env.num_actions,
+                                        env.num_actions, **common)
+        params = pol_mask.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (2, 5, env.obs_dim))
+        l1, v1, _ = pol_mask(params, obs, pol_mask.initial_state(2))
+        l2, v2, _ = pol_cap(params, obs, pol_cap.initial_state(2))
+        assert np.allclose(np.array(l1), np.array(l2), atol=1e-4)
+        assert np.allclose(np.array(v1), np.array(v2), atol=1e-4)
+
     def test_sparse_emit_override_config_path(self):
         from gcm_tpu.edges.sparse_temporal import TemporalEdge
 
