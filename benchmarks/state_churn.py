@@ -179,10 +179,32 @@ def core_fn(model, unroll, train=False):
     return fn
 
 
+def dense_remat_fn(unroll, remat):
+    from gcm_tpu.models.presets import readme_dense_gcm
+
+    model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def loss(p, xs):
+        outs, _ = model.scan(p, xs, state0, unroll=unroll, remat=remat)
+        return jnp.sum(outs ** 2)
+
+    def fn(xs, T):
+        g = jax.grad(loss)(params, xs)
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g))
+
+    return fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--t-dense", type=int, nargs=2, default=(128, 640))
+    ap.add_argument("--dense-remat", action="store_true",
+                    help="re-measure chunked remat on the FUSED dense train "
+                         "path (the r4 wash was measured pre-fuse; the "
+                         "fused step is cheaper to recompute)")
     ap.add_argument("--window", action="store_true",
                     help="measure the scan-free ring window path vs the "
                          "scan on the euclidean / learned-edge configs")
@@ -206,6 +228,18 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.dense_remat:
+        assert config.DENSE_FUSED_STEP
+        for remat in (False, 8, 16, 32):
+            rate, slope = slope_rate(dense_remat_fn(4, remat),
+                                     *args.t_dense,
+                                     seed=501 + (remat or 0))
+            record(f"dense_fused_train_u4_remat{remat}", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     if args.head2head:
         # Per-core production defaults: dense scans at config.SCAN_UNROLL
