@@ -216,9 +216,14 @@ def main():
                          "per-core default unrolls, same pass, on the "
                          "temporal/euclidean/learned configs (decides the "
                          "core='auto' general-selector fallback)")
+    ap.add_argument("--n", type=int, default=None,
+                    help="override graph_size (ring_window's regime is "
+                         "N >> 128 — ROADMAP round-5 lever 3)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.n:
+        globals()["N"] = args.n
 
     from gcm_tpu import config
 

@@ -31,7 +31,7 @@ from gcm_tpu.models.clique_gcm import CliqueGCM
 from gcm_tpu.models.converters import dense_to_sparse, sparse_to_dense
 from gcm_tpu.models.dense_gcm import DenseGCM
 from gcm_tpu.models.nav_gcm import (NavDenseGNN, NavGCM,
-                                    NavGCMIncremental, NavState)
+                                    NavGCMIncremental, NavState, nav_core)
 from gcm_tpu.models.ring_gcm import RingDenseGCM, RingGraphState
 from gcm_tpu.models.sparse_gcm import SparseGCM
 from gcm_tpu.utils.packing import pack_hidden, unpack_hidden

@@ -101,12 +101,30 @@ RING_SCAN_UNROLL: int = 1
 # re-measures it at other shapes).
 EMIT_WINDOW_FACTOR = 4
 
+# hop_cap='auto' gate: engage the gather-compacted k-hop subgraph only in
+# its measured win regime (MEASURE_r4/hop_compact*: +25% at N=4096/F=128/
+# cap=32; a wash at N=4096/F=32; masked wins at N<=1024). Auto derives the
+# cap from selector structure (reach_bound_per_hop) and engages when the
+# cap is at most N // HOP_AUTO_RATIO AND the per-layer GNN work proxy N*F
+# is at least HOP_AUTO_MIN_NF (= the 4096*64 midpoint between the measured
+# wash at 4096*32 and the win at 4096*128).
+HOP_AUTO_RATIO: int = 8
+HOP_AUTO_MIN_NF: int = 262_144
+
+# nav_core() dispatch: NavGCM's full [B,V,V] recompute wins at small maps
+# (V=128: 1.92M vs 1.55M ts/s); NavGCMIncremental's cached-causal O(tau*V)
+# step wins 6.1x at V=512 (166k vs 1.02M; MEASURE_r4/nav_v512). The V=256
+# point (MEASURE_r4b/nav_v256) pins the crossover; maps at or above this
+# vertex count route to the incremental core.
+NAV_INCREMENTAL_MIN_V: int = 256
+
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
                  "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
-                 "DENSE_FUSED_STEP")
+                 "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
+                 "NAV_INCREMENTAL_MIN_V")
 
 
 def apply_tuning(overrides: dict) -> None:

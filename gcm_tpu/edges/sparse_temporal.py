@@ -33,6 +33,15 @@ class TemporalEdge:
         del key
         return {}
 
+    def reach_bound_per_hop(self) -> int:
+        """Structural reachability growth per sink->source round: every
+        edge this selector ever emits steps back at most max(hops) ids, so
+        the k-hop reachable set around the t output nodes has at most
+        t + max_hops * max(hops) members — the bound SparseGCM's
+        hop_cap='auto' uses to size the gather-compacted subgraph. Valid
+        for states whose whole edge history came from this selector."""
+        return max(self.hops) if self.hops else 0
+
     def __call__(self, params, nodes, T, taus, t, key=None, seg_mask=None):
         del params, key
         B, N, _ = nodes.shape

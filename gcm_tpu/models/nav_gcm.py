@@ -387,3 +387,29 @@ class NavGCMIncremental:
         out = jnp.where(new_mask[..., None], h_rows, 0.0)
         return out, NavIncState(new_x, new_pos, new_rot,
                                 tuple(new_caches), total)
+
+
+def nav_core(gnn, max_verts: int = 128, edge_method: str = "radius",
+             k: int = 16, r: float = 1.0, causal: bool = True,
+             pool: bool = False):
+    """Measured dispatch between the two nav cores (the core='auto' idiom
+    applied to NavGCM): the full-recompute NavGCM wins at small maps, but
+    its O(V^2) per-window geometry bites quadratically — NavGCMIncremental
+    (cached causal features, O(tau*V)) measured 6.1x at V=512 and the
+    crossover sits at config.NAV_INCREMENTAL_MIN_V (MEASURE_r4/nav_v512,
+    MEASURE_r4b/nav_v256; reference always pays the full recompute,
+    nav_gcm.py:95-124). Falls back to NavGCM whenever the incremental
+    core's structural requirements don't hold (non-causal, pooled, or a GNN
+    it cannot cache). NOTE the two cores carry different state pytrees
+    (NavState vs NavIncState) — call `initial_state` on what this returns.
+    """
+    from gcm_tpu import config
+
+    if causal and not pool and max_verts >= config.NAV_INCREMENTAL_MIN_V:
+        try:
+            return NavGCMIncremental(gnn, max_verts=max_verts,
+                                     edge_method=edge_method, k=k, r=r)
+        except AssertionError:
+            pass  # unsupported GNN structure -> full recompute
+    return NavGCM(gnn, pool=pool, max_verts=max_verts,
+                  edge_method=edge_method, k=k, r=r, causal=causal)

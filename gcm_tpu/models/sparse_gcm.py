@@ -34,6 +34,8 @@ cannot compile). For graph_size >> reachable-set workloads, `hop_cap=K`
 additionally gather-compacts the subgraph to a capacity-bounded node list
 with re-indexed edges (the reference's "for efficiency" behavior under
 static shapes): the GNN then runs on [B, K, F] instead of [B, N, F].
+`hop_cap='auto'` derives K from selector structure (reach_bound_per_hop)
+and engages only in the measured win regime (config.HOP_AUTO_*).
 Newest-reachable-first compaction keeps output nodes under truncation;
 overflow (reachable > K) drops the oldest subgraph nodes and is surfaced
 as aux["hop_overflow"].
@@ -89,7 +91,15 @@ class SparseGCM:
         # survive truncation (cap must cover the window, asserted at trace
         # time); overflow drops the OLDEST reachable nodes and is surfaced
         # in aux["hop_overflow"].
+        # hop_cap='auto' derives the cap from selector structure at trace
+        # time: cap = t + max_hops * selector.reach_bound_per_hop(), rounded
+        # up to a sublane multiple, engaging only in the measured win regime
+        # (config.HOP_AUTO_RATIO / HOP_AUTO_MIN_NF; MEASURE_r4/hop_compact*).
+        # Falls back to the masked path when the selector has no structural
+        # bound (learned/spatial: reachability is data-dependent) or an aux
+        # selector adds unbounded edges.
         if hop_cap is not None:
+            assert hop_cap == "auto" or isinstance(hop_cap, int), hop_cap
             assert max_hops is not None, "hop_cap requires max_hops"
             assert aggregation != "slots", (
                 "hop_cap compaction composes with the default aggregation "
@@ -306,11 +316,12 @@ class SparseGCM:
         out_rows, out_n = rows, N
         if self.max_hops is not None:
             gnn_edges = self._k_hop_edge_mask(edges, new_mask, rows, N)
-            if self.hop_cap is not None:
+            cap = self._resolve_hop_cap(t, N, dirty_nodes.shape[-1])
+            if cap is not None:
                 (gnn_nodes, gnn_edges, out_rows,
                  aux["hop_overflow"]) = self._compact_reachable(
-                    dirty_nodes, gnn_edges, new_mask, rows, t)
-                out_n = self.hop_cap
+                    dirty_nodes, gnn_edges, new_mask, rows, t, cap)
+                out_n = cap
         if self.aggregation == "slots":
             from gcm_tpu.ops.pallas.spmm_slots import (bucket_sink_slots,
                                                        spmm_slots)
@@ -344,6 +355,32 @@ class SparseGCM:
         return mx, new_state
 
     # -- helpers -----------------------------------------------------------
+    def _resolve_hop_cap(self, t: int, N: int, F: int) -> int | None:
+        """Trace-time hop_cap resolution. An int passes through; 'auto'
+        derives cap = t + max_hops * reach_bound_per_hop() from selector
+        structure (ROADMAP round-5 lever: the reference picks the subgraph
+        size dynamically, sparse_gcm.py:186-199; static shapes need it
+        up-front) and engages only in the regime where compaction measured
+        faster than the masked path (config.HOP_AUTO_RATIO /
+        HOP_AUTO_MIN_NF, from MEASURE_r4/hop_compact*). Returns None for
+        "stay on the masked path"."""
+        if self.hop_cap is None:
+            return None
+        if self.hop_cap != "auto":
+            return self.hop_cap
+        if self.aux_edge_selectors is not None:
+            return None  # aux edges have no structural reachability bound
+        bound_fn = getattr(self.edge_selectors, "reach_bound_per_hop", None)
+        if bound_fn is None:
+            return None
+        from gcm_tpu import config
+
+        cap = t + self.max_hops * int(bound_fn())
+        cap = min(N, -(-cap // 8) * 8)  # round up to a sublane multiple
+        if cap * config.HOP_AUTO_RATIO > N or N * F < config.HOP_AUTO_MIN_NF:
+            return None
+        return cap
+
     def _k_hop_edge_mask(self, edges, new_mask, rows, N):
         """Sentinel-mask edges outside the max_hops-hop subgraph around the
         output (new) nodes — the static-shape k_hop_subgraph (reference
@@ -369,7 +406,7 @@ class SparseGCM:
         return jnp.where(keep[:, None, :], edges, -1)
 
     def _compact_reachable(self, dirty_nodes, masked_edges, new_mask, rows,
-                           t):
+                           t, cap):
         """Gather the k-hop subgraph into a [B, hop_cap, F] node buffer with
         remapped edges — the reference k_hop_subgraph's WORK reduction
         (sparse_gcm.py:176-199 extracts the subgraph "for efficiency"; the
@@ -382,7 +419,6 @@ class SparseGCM:
         Returns (nodes_sub [B,cap,F], edges_sub [B,2,E] in compacted ids,
         rows_sub [B,t] compacted output rows (-1 where padded/dropped),
         overflow [B] count of reachable nodes beyond cap)."""
-        cap = self.hop_cap
         assert cap >= t, (
             f"hop_cap={cap} must cover the window length t={t} so output "
             f"nodes survive compaction")

@@ -219,3 +219,104 @@ class TestHopCapCompaction:
         flat = jnp.concatenate([jnp.ravel(l)
                                 for l in jax.tree_util.tree_leaves(gc)])
         assert float(jnp.linalg.norm(flat)) > 0
+
+
+class TestHopCapAuto:
+    """hop_cap='auto': the cap is derived from selector structure
+    (TemporalEdge.reach_bound_per_hop) at trace time and compaction engages
+    only in the measured win regime (config.HOP_AUTO_RATIO /
+    HOP_AUTO_MIN_NF, MEASURE_r4/hop_compact*)."""
+
+    def _pair(self, hops=2, graph=N, sel=None):
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh, GraphConv(F, F),
+                         jnp.tanh])
+        kw = dict(edge_selectors=sel or TemporalEdge([1, 2]),
+                  graph_size=graph, max_edges=E)
+        masked = SparseGCM(gnn, max_hops=hops, **kw)
+        auto = SparseGCM(gnn, max_hops=hops, hop_cap="auto", **kw)
+        params = masked.init(jax.random.PRNGKey(0))
+        return masked, auto, params
+
+    def _force(self, ratio, min_nf):
+        from gcm_tpu import config
+
+        old = (config.HOP_AUTO_RATIO, config.HOP_AUTO_MIN_NF)
+        config.apply_tuning({"HOP_AUTO_RATIO": ratio,
+                             "HOP_AUTO_MIN_NF": min_nf})
+        return old
+
+    def _restore(self, old):
+        from gcm_tpu import config
+
+        config.apply_tuning({"HOP_AUTO_RATIO": old[0],
+                             "HOP_AUTO_MIN_NF": old[1]})
+
+    def test_auto_cap_is_structural_bound(self):
+        # t=6, max_hops=2, TemporalEdge[1,2]: cap = 6 + 2*2 = 10 -> 16
+        _, auto, _ = self._pair(hops=2, graph=128)
+        old = self._force(ratio=8, min_nf=0)
+        try:
+            assert auto._resolve_hop_cap(t=6, N=128, F=F) == 16
+        finally:
+            self._restore(old)
+
+    def test_auto_engaged_matches_masked_bitwise(self):
+        masked, auto, params = self._pair(hops=2)
+        old = self._force(ratio=1, min_nf=0)  # force engagement at N=16
+        try:
+            assert auto._resolve_hop_cap(t=t, N=N, F=F) is not None
+            xs = jax.random.normal(jax.random.PRNGKey(7), (B, t, F))
+            t0 = 3
+            sm = masked.initial_state(B, F)
+            sa = auto.initial_state(B, F)
+            fwd = jax.jit(lambda p, w, tw, s: auto(p, w, tw, s))
+            for sl in (slice(None, t0), slice(t0, None)):
+                w = xs[:, sl]
+                tw = jnp.full((B,), w.shape[1], jnp.int32)
+                om, sm = masked(params, w, tw, sm)
+                oa, sa = fwd(params, w, tw, sa)
+                np.testing.assert_allclose(np.asarray(om), np.asarray(oa),
+                                           atol=1e-5, rtol=0)
+            for a, b in zip(sm, sa):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        finally:
+            self._restore(old)
+
+    def test_auto_off_below_measured_regime(self):
+        # default gate: N=16, F=5 is far below the N*F >= 262144 crossover,
+        # so auto stays on the masked path
+        _, auto, _ = self._pair(hops=2)
+        assert auto._resolve_hop_cap(t=t, N=N, F=F) is None
+
+    def test_auto_off_without_structural_bound(self):
+        class Unbounded:
+            """Selector shim without reach_bound_per_hop (learned/spatial
+            reachability is data-dependent)."""
+
+            def __init__(self):
+                self._inner = TemporalEdge([1])
+
+            def init(self, key):
+                return self._inner.init(key)
+
+            def __call__(self, *a, **kw):
+                return self._inner(*a, **kw)
+
+        _, auto, _ = self._pair(hops=2, sel=Unbounded())
+        old = self._force(ratio=1, min_nf=0)
+        try:
+            assert auto._resolve_hop_cap(t=t, N=N, F=F) is None
+        finally:
+            self._restore(old)
+
+    def test_auto_off_with_aux_selector(self):
+        gnn = SparseGNN([GraphConv(F, F), jnp.tanh])
+        auto = SparseGCM(gnn, edge_selectors=TemporalEdge([1]),
+                         aux_edge_selectors=TemporalEdge([2]),
+                         graph_size=N, max_edges=E, max_hops=1,
+                         hop_cap="auto")
+        old = self._force(ratio=1, min_nf=0)
+        try:
+            assert auto._resolve_hop_cap(t=t, N=N, F=F) is None
+        finally:
+            self._restore(old)

@@ -435,3 +435,67 @@ class TestIncrementalProperty:
         for a, b in zip((s_ref.x, s_ref.pos, s_ref.rot, s_ref.t),
                         (s_fast.x, s_fast.pos, s_fast.rot, s_fast.t)):
             assert np.allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+class TestNavCoreDispatch:
+    """nav_core(): measured V-crossover dispatch between the full-recompute
+    and cached-incremental cores (config.NAV_INCREMENTAL_MIN_V; the
+    incremental core is output-identical, TestIncrementalParity, so the
+    dispatch is a pure perf decision)."""
+
+    def _gnn(self, feats=1):
+        in_dim = feats + 2 + 1
+        return NavDenseGNN([DenseGraphConv(in_dim, 4), jnp.tanh])
+
+    def test_small_map_routes_full(self):
+        from gcm_tpu import nav_core
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+
+        core = nav_core(self._gnn(), max_verts=128)
+        assert isinstance(core, NavGCM)
+        assert not isinstance(core, NavGCMIncremental)
+
+    def test_large_map_routes_incremental(self):
+        from gcm_tpu import config, nav_core
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+
+        core = nav_core(self._gnn(),
+                        max_verts=config.NAV_INCREMENTAL_MIN_V)
+        assert isinstance(core, NavGCMIncremental)
+
+    def test_structural_fallbacks(self):
+        from gcm_tpu import config, nav_core
+        from gcm_tpu.models.nav_gcm import NavGCMIncremental
+
+        V = config.NAV_INCREMENTAL_MIN_V
+        # non-causal and pooled modes are full-recompute only
+        assert not isinstance(nav_core(self._gnn(), max_verts=V,
+                                       causal=False), NavGCMIncremental)
+        assert not isinstance(nav_core(self._gnn(), max_verts=V, pool=True),
+                              NavGCMIncremental)
+        pooled = nav_core(self._gnn(), max_verts=V, pool=True)
+        assert pooled.pool
+
+        # a GNN the incremental core cannot cache falls back cleanly
+        class Opaque:
+            layers = None
+
+            def init(self, key):
+                return {}
+
+        assert isinstance(nav_core(Opaque(), max_verts=V), NavGCM)
+
+    def test_dispatched_core_runs(self):
+        from gcm_tpu import config, nav_core
+
+        V = config.NAV_INCREMENTAL_MIN_V
+        core = nav_core(self._gnn(), max_verts=V)
+        params = core.init(jax.random.PRNGKey(0))
+        B, tau = 2, 4
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, tau, 1))
+        pos = jax.random.normal(jax.random.PRNGKey(2), (B, tau, 2))
+        rot = jax.random.normal(jax.random.PRNGKey(3), (B, tau, 1))
+        taus = jnp.full((B,), tau, jnp.int32)
+        out, st = core(params, x, pos, rot, taus, core.initial_state(B, 1))
+        assert out.shape == (B, tau, 4)
+        assert bool(jnp.all(jnp.isfinite(out)))
