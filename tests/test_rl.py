@@ -79,6 +79,24 @@ class TestWrapper:
         assert np.allclose(np.array(l1), np.array(l2), atol=1e-4)
         assert np.allclose(np.array(v1), np.array(v2), atol=1e-4)
 
+        # hop_cap='auto' passes through the config and, forced into its
+        # engage regime, still matches the masked path end-to-end
+        from gcm_tpu import config
+
+        pol_auto = SparseGCMActorCritic(env.obs_dim, env.num_actions,
+                                        env.num_actions, hop_cap="auto",
+                                        **common)
+        assert pol_auto.core.hop_cap == "auto"
+        old = (config.HOP_AUTO_RATIO, config.HOP_AUTO_MIN_NF)
+        config.apply_tuning({"HOP_AUTO_RATIO": 1, "HOP_AUTO_MIN_NF": 0})
+        try:
+            la, va, _ = pol_auto(params, obs, pol_auto.initial_state(2))
+        finally:
+            config.apply_tuning({"HOP_AUTO_RATIO": old[0],
+                                 "HOP_AUTO_MIN_NF": old[1]})
+        assert np.allclose(np.array(l1), np.array(la), atol=1e-4)
+        assert np.allclose(np.array(v1), np.array(va), atol=1e-4)
+
     def test_sparse_emit_override_config_path(self):
         from gcm_tpu.edges.sparse_temporal import TemporalEdge
 
