@@ -551,6 +551,44 @@ def sane(fn, *a, **kw):
     return v
 
 
+def floor_table():
+    """Analytic speed-of-light denominators for each metric
+    (utils/roofline.py, VERDICT r4 item 5): BENCH lines carry % of floor so
+    distance-to-hardware regressions stay visible under the tunnel's
+    ±25-35% absolute session variance (the % moves only with real program
+    changes at fixed shapes). fwd_bwd uses the standard 3x-forward
+    convention (backward ≈ 2 extra passes of the same tensors). Metrics
+    with no principled formula (sparse whole-window, clique's O(N·F²)
+    step) carry null rather than an invented number."""
+    from gcm_tpu.utils import roofline
+
+    dense128 = roofline.dense_scan_step(32, 128, 32)["timesteps_per_s"]
+    dense512 = roofline.dense_scan_step(32, 512, 32)["timesteps_per_s"]
+    banded128 = roofline.banded_scan_step(32, 128, 32)["timesteps_per_s"]
+    return {
+        "gcm_timesteps_per_s": dense128,
+        "fwd_bwd_timesteps_per_s": dense128 / 3.0,
+        "ring_timesteps_per_s": dense128,
+        "banded_timesteps_per_s": banded128,
+        "banded_window_chainedTw128_timesteps_per_s": banded128,
+        "banded_window_chainedTw128_train_timesteps_per_s": banded128 / 3.0,
+        "spmm_edges_per_s": roofline.spmm(64, 512, 8192, 128)["edges_per_s"],
+        "dense_edge_n512_timesteps_per_s": dense512,
+        "euclidean_timesteps_per_s": dense128,
+        "cosine_timesteps_per_s": dense128,
+        "spatial_timesteps_per_s": dense128,
+        "learned_edge_timesteps_per_s": dense128,
+        "ring_euclidean_timesteps_per_s": dense128,
+        "ring_learned_timesteps_per_s": dense128,
+        "nav_gcm_timesteps_per_s":
+            roofline.nav_window(8, 128, 8, 16)["timesteps_per_s"],
+        "nav_incremental_timesteps_per_s":
+            roofline.nav_incremental_window(8, 128, 8, 16)["timesteps_per_s"],
+        "nav_incremental_v256_timesteps_per_s":
+            roofline.nav_incremental_window(8, 256, 8, 16)["timesteps_per_s"],
+    }
+
+
 def main():
     fwd, fwd_bwd = bench_dense_gcm()
     ring = sane(bench_ring_gcm)
@@ -574,7 +612,11 @@ def main():
     ring_learned = sane(bench_ring_scored, "learned")
     nav = sane(bench_nav_gcm)
     nav_inc = sane(bench_nav_gcm, incremental=True)
-    print(json.dumps({
+    # the incremental core's WIN regime (nav_core() routes V >= 256 here —
+    # config.NAV_INCREMENTAL_MIN_V; 1.8x at V=256, 6.1x at V=512): one bench
+    # point where the dispatch payoff is the thing being regression-tracked
+    nav_inc_256 = sane(bench_nav_gcm, V=256, incremental=True)
+    results = {
         "metric": "gcm_timesteps_per_s",
         "value": round(fwd),
         "unit": "timesteps/s",
@@ -596,9 +638,19 @@ def main():
         "ring_learned_timesteps_per_s": round(ring_learned),
         "nav_gcm_timesteps_per_s": round(nav),
         "nav_incremental_timesteps_per_s": round(nav_inc),
+        "nav_incremental_v256_timesteps_per_s": round(nav_inc_256),
         "backend": jax.default_backend(),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
-    }))
+    }
+    floors = floor_table()
+    floors["value"] = floors["gcm_timesteps_per_s"]  # the headline metric
+    results["pct_of_floor"] = {
+        k: (round(100.0 * results[k] / floors[k], 2) if k in floors
+            else None)
+        for k in results
+        if isinstance(results[k], (int, float)) and k != "vs_baseline"
+    }
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -114,7 +114,7 @@ def scored_model(kind):
                         edge_selectors=sel, graph_size=N)
 
 
-def scored_fn(kind, use_window, train=False):
+def scored_fn(kind, use_window, train=False, chunk=None, remat=False):
     from gcm_tpu.models.ring_window import ring_window
 
     model = scored_model(kind)
@@ -123,9 +123,9 @@ def scored_fn(kind, use_window, train=False):
 
     def loss(p, xs):
         if use_window:
-            outs, _ = ring_window(model, p, xs, state0)
+            outs, _ = ring_window(model, p, xs, state0, chunk=chunk)
         else:
-            outs, _ = model.scan(p, xs, state0)
+            outs, _ = model.scan(p, xs, state0, remat=remat)
         return jnp.sum(outs ** 2)
 
     def fn(xs, T):
@@ -134,7 +134,7 @@ def scored_fn(kind, use_window, train=False):
             return sum(jnp.sum(leaf)
                        for leaf in jax.tree_util.tree_leaves(g))
         if use_window:
-            outs, _ = ring_window(model, params, xs, state0)
+            outs, _ = ring_window(model, params, xs, state0, chunk=chunk)
         else:
             outs, _ = model.scan(params, xs, state0)
         return jnp.sum(outs)
@@ -158,6 +158,59 @@ def dense_scored_model(kind):
            else LearnedEdge(input_size=OBS, deterministic=True))
     return DenseGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
                     edge_selectors=sel, graph_size=N)
+
+
+def banded_model():
+    from gcm_tpu.models.banded_gcm import BandedRingGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                    DenseGraphConv(HID, HID), jnp.tanh])
+    return BandedRingGCM(gnn, preprocessor=MLP([Linear(OBS, HID)]),
+                         hops=(1,), graph_size=N)
+
+
+def windowed_scored_models(w=32):
+    """The banded_scored head-to-head pair: DenseGCM vs BandedScoredGCM on
+    an identical windowed EuclideanEdge config (the core='auto' rule at
+    rl/wrappers.py:209-214 decides between exactly these two)."""
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.models.banded_gcm import BandedScoredGCM
+    from gcm_tpu.models.dense_gcm import DenseGCM
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    def gnn():
+        return DenseGNN([DenseGraphConv(HID, HID), jnp.tanh,
+                         DenseGraphConv(HID, HID), jnp.tanh])
+
+    dense = DenseGCM(gnn(), preprocessor=MLP([Linear(OBS, HID)]),
+                     edge_selectors=EuclideanEdge(max_distance=1.0, window=w),
+                     graph_size=N)
+    scored = BandedScoredGCM(gnn(), preprocessor=MLP([Linear(OBS, HID)]),
+                             distance=EuclideanEdge(max_distance=1.0,
+                                                    window=w),
+                             graph_size=N)
+    return dense, scored
+
+
+def window_train_fn(model):
+    """fwd+bwd through the core's scan-free window() trajectory path — the
+    mode the fast cores train in (wrappers dispatch window when
+    window_profitable('train'))."""
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = model.initial_state(B, OBS)
+
+    def loss(p, xs):
+        outs, _ = model.window(p, xs, state0)
+        return jnp.sum(outs ** 2)
+
+    def fn(xs, T):
+        g = jax.grad(loss)(params, xs)
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g))
+
+    return fn
 
 
 def core_fn(model, unroll, train=False):
@@ -216,14 +269,28 @@ def main():
                          "per-core default unrolls, same pass, on the "
                          "temporal/euclidean/learned configs (decides the "
                          "core='auto' general-selector fallback)")
+    ap.add_argument("--structured", action="store_true",
+                    help="re-pin the core='auto' STRUCTURED crossovers "
+                         "against the FUSED dense core (VERDICT r4 weak #1): "
+                         "temporal family dense-vs-banded and windowed-"
+                         "distance dense-vs-banded_scored, fwd + train + "
+                         "window-train, same pass, at the current --n")
     ap.add_argument("--n", type=int, default=None,
                     help="override graph_size (ring_window's regime is "
                          "N >> 128 — ROADMAP round-5 lever 3)")
+    ap.add_argument("--window-chunks", type=int, nargs="*", default=(),
+                    help="extra explicit ring_window chunk lengths to sweep "
+                         "(fwd and train), on top of the auto pick")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.n:
+    if args.n is not None:  # `is not None`, so --n 0 fails loudly below
+        # rebind BOTH modules' N: the builders here read state_churn's copy,
+        # but scan_breakdown helpers must agree if any ever reads its own
+        import scan_breakdown
+
         globals()["N"] = args.n
+        scan_breakdown.N = args.n
 
     from gcm_tpu import config
 
@@ -301,6 +368,55 @@ def main():
                           "results": results}), flush=True)
         return
 
+    if args.structured:
+        assert config.DENSE_FUSED_STEP
+        from gcm_tpu.models.presets import readme_dense_gcm
+
+        # temporal family: fused dense scan vs banded scan vs banded window
+        pairs = [
+            ("temporal_dense",
+             lambda: core_fn(readme_dense_gcm(obs_size=OBS, hidden=HID,
+                                              graph_size=N),
+                             config.SCAN_UNROLL)),
+            ("temporal_banded",
+             lambda: core_fn(banded_model(), config.SCAN_UNROLL)),
+        ]
+        for i, (tag, mk) in enumerate(pairs):
+            rate, slope = slope_rate(mk(), *args.t_dense, seed=601 + i)
+            record(f"{tag}_fwd", rate, slope)
+            rate, slope = slope_rate(
+                core_fn((readme_dense_gcm(obs_size=OBS, hidden=HID,
+                                          graph_size=N)
+                         if "dense" in tag else banded_model()),
+                        config.SCAN_UNROLL, train=True),
+                *args.t_dense, seed=611 + i)
+            record(f"{tag}_train", rate, slope)
+        rate, slope = slope_rate(window_train_fn(banded_model()),
+                                 *args.t_dense, seed=621)
+        record("temporal_banded_window_train", rate, slope)
+
+        # windowed distance: fused dense vs banded_scored
+        for i, (tag, model) in enumerate(
+                zip(("scoredw_dense", "scoredw_banded_scored"),
+                    windowed_scored_models())):
+            rate, slope = slope_rate(core_fn(model, config.SCAN_UNROLL),
+                                     *args.t_dense, seed=631 + i)
+            record(f"{tag}_fwd", rate, slope)
+        for i, (tag, model) in enumerate(
+                zip(("scoredw_dense", "scoredw_banded_scored"),
+                    windowed_scored_models())):
+            rate, slope = slope_rate(
+                core_fn(model, config.SCAN_UNROLL, train=True),
+                *args.t_dense, seed=641 + i)
+            record(f"{tag}_train", rate, slope)
+        rate, slope = slope_rate(window_train_fn(windowed_scored_models()[1]),
+                                 *args.t_dense, seed=651)
+        record("scoredw_banded_scored_window_train", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N} w=32",
+                          "results": results}), flush=True)
+        return
+
     if args.window:
         for kind in ("euclidean", "learned"):
             for use_window in (False, True):
@@ -309,14 +425,36 @@ def main():
                                          *args.t_dense,
                                          seed=141 + len(kind) + use_window)
                 record(f"ring_{kind}_{tag}", rate, slope)
-        # fwd+bwd: the window's backward is also scan-free (cumsum
-        # transposes), vs the scan's sequential backward
-        for use_window in (False, True):
-            tag = "window" if use_window else "scan"
+        # chunk-size sweep: each extra chunk re-pays the O(B*M^2*F) base/
+        # rewrite term, but over-long chunks blow the [B,c,N+c,F] kill-cumsum
+        # intermediates (the memory bound RING_WINDOW_CHUNK_BYTES encodes)
+        for chunk in args.window_chunks:
             rate, slope = slope_rate(
-                scored_fn("euclidean", use_window, train=True),
-                *args.t_dense, seed=151 + use_window)
-            record(f"ring_euclidean_{tag}_train", rate, slope)
+                scored_fn("euclidean", True, chunk=chunk),
+                *args.t_dense, seed=161 + chunk)
+            record(f"ring_euclidean_window_c{chunk}", rate, slope)
+        # fwd+bwd: the window's backward is also scan-free (cumsum
+        # transposes), vs the scan's sequential backward. The scan leg runs
+        # the PRODUCTION training path (chunked remat, rl/wrappers.py::
+        # train_remat_for) — without it the T-stacked [B,N,N] carry residual
+        # OOMs outright at N=1024 (MEASURE_r4b/ring_window_n1024.log: a
+        # 40 GB bf16[640,32,1024,1024] allocation).
+        remat = config.TRAIN_REMAT_CHUNK \
+            if all(t % config.TRAIN_REMAT_CHUNK == 0 for t in args.t_dense) \
+            else False
+        rate, slope = slope_rate(
+            scored_fn("euclidean", False, train=True, remat=remat),
+            *args.t_dense, seed=151)
+        record(f"ring_euclidean_scan_train_remat{remat}", rate, slope)
+        rate, slope = slope_rate(
+            scored_fn("euclidean", True, train=True), *args.t_dense,
+            seed=152)
+        record("ring_euclidean_window_train", rate, slope)
+        for chunk in args.window_chunks:
+            rate, slope = slope_rate(
+                scored_fn("euclidean", True, train=True, chunk=chunk),
+                *args.t_dense, seed=171 + chunk)
+            record(f"ring_euclidean_window_train_c{chunk}", rate, slope)
         print(json.dumps({"backend": jax.default_backend(),
                           "workload": f"B={B} obs={OBS} hid={HID} N={N}",
                           "results": results}), flush=True)

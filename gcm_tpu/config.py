@@ -118,13 +118,41 @@ HOP_AUTO_MIN_NF: int = 262_144
 # vertex count route to the incremental core.
 NAV_INCREMENTAL_MIN_V: int = 256
 
+# Ring-core window() dispatch (RingDenseGCM.window_profitable): the scan-free
+# trajectory path loses at small N (the [B,T,N+T,F] materialization is pure
+# HBM overhead when the scan's [B,N,N] carry is cheap) and wins at large N,
+# with the TRAINING crossover earlier than the forward one because the
+# window's backward avoids the scan's per-step [B,N,N] carry residual.
+# Measured on TPU v5e, B=32 obs=8 hid=32 euclidean (MEASURE_r4b
+# ring_window_n512/n1024b): N=512 fwd 487k vs scan 643k (scan wins), train
+# 224k vs 169k (+33% window); N=1024 fwd 500k vs 221k (2.3x window), train
+# 217k vs 49k (4.4x window).
+RING_WINDOW_FWD_MIN_N: int = 1024
+RING_WINDOW_TRAIN_MIN_N: int = 512
+
+# Memory bound for ring_window's per-chunk intermediates: the kill-cumsum
+# materializes a handful of [B, c, N+c, F] tensors per T<=N chunk. The chunk
+# length c is the largest with one such buffer under this many bytes
+# (ring_window.max_chunk_len); exactness does not depend on c (any c <= N
+# threads the state identically, tests/test_ring_window.py::TestChunked).
+# Chunk-size sweep (TPU v5e 16 GB, N=1024 B=32 F=32 T=640, same pass,
+# MEASURE_r5/ring_window_n1024_sweep): fwd c160/c320/c640 = 157k/176k/300k
+# ts/s, train 89k/96k/126k — every extra chunk re-pays the O(B·(N+c)²·F)
+# base/rewrite term, so the best chunk is the largest that fits. 4.5 GiB
+# admits the measured-best single 640-chunk (4.36 GB buffer, fwd+bwd ran
+# within 16 GB); 1 GiB (c=208) cost 1.6x fwd. (The r4b 40 GB OOM was the
+# SCAN-train residual stack bf16[T,B,N,N], not this path — the window needs
+# a ceiling, not a tiny budget.)
+RING_WINDOW_CHUNK_BYTES: int = int(4.5 * (1 << 30))
+
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
                  "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
                  "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
-                 "NAV_INCREMENTAL_MIN_V")
+                 "NAV_INCREMENTAL_MIN_V", "RING_WINDOW_FWD_MIN_N",
+                 "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES")
 
 
 def apply_tuning(overrides: dict) -> None:

@@ -199,12 +199,12 @@ class BandedRingGCM:
         mx = h_feats[b_idx, p]
         return mx, BandedState(nodes, t + 1)
 
-    def window_profitable(self) -> bool:
+    def window_profitable(self, mode: str = "forward") -> bool:
         """Measured dispatch gate for the wrappers' whole-trajectory call:
-        the banded stencil `window()` beats its scan on every backend and
-        shape measured (BASELINE.md round-4 reconciliation: 44M +- 4M ts/s
-        chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128, ~66M
-        asymptotic in-window) -- always profitable."""
+        the banded stencil `window()` beats its scan on every backend, shape
+        and mode measured (BASELINE.md round-4 reconciliation: 44M +- 4M
+        ts/s chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128,
+        ~66M asymptotic in-window; train 38-40M) -- always profitable."""
         return True
 
     # -- whole-trajectory parallel forward -----------------------------------
@@ -502,12 +502,12 @@ class BandedScoredGCM:
                 unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state
 
-    def window_profitable(self) -> bool:
+    def window_profitable(self, mode: str = "forward") -> bool:
         """Measured dispatch gate for the wrappers' whole-trajectory call:
-        the banded stencil `window()` beats its scan on every backend and
-        shape measured (BASELINE.md round-4 reconciliation: 44M +- 4M ts/s
-        chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128, ~66M
-        asymptotic in-window) -- always profitable."""
+        the banded stencil `window()` beats its scan on every backend, shape
+        and mode measured (BASELINE.md round-4 reconciliation: 44M +- 4M
+        ts/s chained Tw=128 windows vs ~5M scan on TPU v5e at B=32/N=128,
+        ~66M asymptotic in-window; train 38-40M) -- always profitable."""
         return True
 
     # -- whole-trajectory parallel forward -----------------------------------

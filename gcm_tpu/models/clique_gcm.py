@@ -150,7 +150,7 @@ class CliqueGCM:
                 unroll=unroll)
         return jnp.swapaxes(outs, 0, 1), final_state
 
-    def window_profitable(self) -> bool:
+    def window_profitable(self, mode: str = "forward") -> bool:
         """Measured dispatch gate for the wrappers' whole-trajectory call.
 
         Unlike the banded stencil, the clique `window()` must materialize a

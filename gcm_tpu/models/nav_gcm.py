@@ -247,18 +247,33 @@ class NavGCMIncremental:
     final features, which this core does not materialize).
     """
 
-    def __init__(self, gnn, max_verts: int = 128, edge_method: str = "radius",
-                 k: int = 16, r: float = 1.0):
+    @staticmethod
+    def supports(gnn) -> bool:
+        """Capability predicate: can this GNN run on the incremental core?
+        (A NavDenseGNN/NavPoseGNN adapter whose parameterized layers are all
+        DenseGraphConv / NavRelPosConv — the structures whose per-layer
+        features the cache can extend row-wise.) nav_core() consults this
+        for its dispatch instead of relying on constructor asserts, which
+        python -O strips (ADVICE r4)."""
         from gcm_tpu.nn.nav_conv import NavPoseGNN, NavRelPosConv
 
-        assert edge_method in ("knn", "radius")
-        assert isinstance(gnn, (NavDenseGNN, NavPoseGNN)), (
-            "NavGCMIncremental needs a NavDenseGNN or NavPoseGNN adapter")
-        for layer in gnn.layers:
-            if hasattr(layer, "init"):
-                assert isinstance(layer, (DenseGraphConv, NavRelPosConv)), (
-                    "NavGCMIncremental supports DenseGraphConv / "
-                    "NavRelPosConv stacks")
+        if not isinstance(gnn, (NavDenseGNN, NavPoseGNN)):
+            return False
+        layers = getattr(gnn, "layers", None)
+        if not isinstance(layers, (list, tuple)):
+            return False
+        return all(isinstance(layer, (DenseGraphConv, NavRelPosConv))
+                   for layer in layers if hasattr(layer, "init"))
+
+    def __init__(self, gnn, max_verts: int = 128, edge_method: str = "radius",
+                 k: int = 16, r: float = 1.0):
+        if edge_method not in ("knn", "radius"):
+            raise ValueError(f"edge_method {edge_method!r}")
+        if not self.supports(gnn):
+            raise TypeError(
+                "NavGCMIncremental needs a NavDenseGNN or NavPoseGNN "
+                "adapter of DenseGraphConv / NavRelPosConv layers "
+                "(see NavGCMIncremental.supports)")
         self.gnn = gnn
         self.max_verts = max_verts
         self.edge_method = edge_method
@@ -405,11 +420,9 @@ def nav_core(gnn, max_verts: int = 128, edge_method: str = "radius",
     """
     from gcm_tpu import config
 
-    if causal and not pool and max_verts >= config.NAV_INCREMENTAL_MIN_V:
-        try:
-            return NavGCMIncremental(gnn, max_verts=max_verts,
-                                     edge_method=edge_method, k=k, r=r)
-        except AssertionError:
-            pass  # unsupported GNN structure -> full recompute
+    if (causal and not pool and max_verts >= config.NAV_INCREMENTAL_MIN_V
+            and NavGCMIncremental.supports(gnn)):
+        return NavGCMIncremental(gnn, max_verts=max_verts,
+                                 edge_method=edge_method, k=k, r=r)
     return NavGCM(gnn, pool=pool, max_verts=max_verts,
                   edge_method=edge_method, k=k, r=r, causal=causal)

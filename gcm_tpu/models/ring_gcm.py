@@ -461,22 +461,44 @@ class RingDenseGCM:
         return _scan_with_resets(self, params, xs, state, key, dones, remat,
                                  unroll)
 
-    def window(self, params, xs, state: RingGraphState, dones=None):
+    def window(self, params, xs, state: RingGraphState, dones=None,
+               chunk=None):
         """Scan-free whole-trajectory forward for row-only scored/learned
         selectors (models/ring_window.py: extended-source scoring + the
         kill-cumsum — N x fewer conv FLOPs than the scan). Output matches
         scan to float-accumulation order (tests/test_ring_window.py).
         Falls back to scan when the structure is unsupported (bidirectional
         or stochastic selectors, >2 conv layers, PE/aux/pooled/weights) or
-        dones are given."""
+        dones are given. chunk= overrides the memory-bounded chunk length
+        (config.RING_WINDOW_CHUNK_BYTES)."""
         from gcm_tpu.models.ring_window import ring_window, window_supported
 
         if dones is not None or not window_supported(self):
             return self.scan(params, xs, state, dones=dones)
-        return ring_window(self, params, xs, state)
+        return ring_window(self, params, xs, state, chunk=chunk)
 
-    def window_profitable(self) -> bool:
-        """Dispatch gate for the wrappers' whole-trajectory call: pending
-        TPU measurement (benchmarks/state_churn.py --window); the scan stays
-        the default until the window path is measured faster."""
-        return False
+    def window_profitable(self, mode: str = "forward") -> bool:
+        """Measured (N, mode) dispatch gate for the wrappers'
+        whole-trajectory call (TPU v5e, MEASURE_r4b ring_window_n512/
+        n1024b, euclidean B=32): forward crosses over at N=1024 (window
+        500k vs scan 221k ts/s; at N=512 the scan still wins 643k vs 487k),
+        TRAINING crosses earlier at N=512 (224k vs 169k; N=1024: 217k vs
+        49k, 4.4x) because the window's backward has no per-step [B,N,N]
+        carry residual to save. Thresholds are config tunables
+        (RING_WINDOW_FWD_MIN_N / RING_WINDOW_TRAIN_MIN_N)."""
+        from gcm_tpu import config
+
+        min_n = (config.RING_WINDOW_TRAIN_MIN_N if mode == "train"
+                 else config.RING_WINDOW_FWD_MIN_N)
+        return self.graph_size >= min_n
+
+    def window_applicable(self, dones=None) -> bool:
+        """Structural check the wrappers consult BEFORE dispatching to
+        window(): the ring window supports neither dones (mid-trajectory
+        resets break the kill-cumsum's fixed slot lifetimes) nor the
+        structures window_supported rejects. Falling through window()'s
+        internal scan fallback would drop the caller's unroll/remat args,
+        so the wrapper needs this answer up front."""
+        from gcm_tpu.models.ring_window import window_supported
+
+        return dones is None and window_supported(self)

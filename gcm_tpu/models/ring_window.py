@@ -238,19 +238,56 @@ def _window_chunk(model, params, xs, state):
     return outs, RingGraphState(nodes_F, adj_F, weights, t0 + T)
 
 
-def ring_window(model, params, xs, state, dones=None):
+def max_chunk_len(model, B: int, obs_dim: int) -> int:
+    """Largest chunk length c such that the biggest per-chunk intermediate
+    ([B, c, N+c, Fwide] — the kill-cumsum's P/Kcum, or the learned
+    selector's pair concat) stays under config.RING_WINDOW_CHUNK_BYTES.
+    Unbounded c = N OOMed a 16 GB chip at N=1024 on a single 40 GB buffer
+    (MEASURE_r4b/ring_window_n1024.log); exactness is chunk-size-independent
+    so this only trades a little batching for a hard memory ceiling."""
+    import math
+
+    from gcm_tpu import config
+    from gcm_tpu.nn.dense_conv import plan_conv_stack
+
+    N = model.graph_size
+    plan = plan_conv_stack(model.gnn.layers, allowed_aggrs=("add", "mean"))
+    fwide = model.gnn.layers[plan[0][0]].in_dim if plan else obs_dim
+
+    def has_learned(sel):
+        if isinstance(sel, EdgeChain):
+            return any(has_learned(s) for s in sel.selectors)
+        return isinstance(sel, LearnedEdge)
+
+    if model.edge_selectors is not None and has_learned(model.edge_selectors):
+        fwide = max(fwide, 2 * obs_dim)
+    K = config.RING_WINDOW_CHUNK_BYTES / (B * fwide * 4)
+    # c * (N + c) <= K
+    c = int((math.sqrt(N * N + 4 * K) - N) / 2)
+    if c >= 16:
+        c -= c % 8  # sublane-friendly
+    return max(1, min(N, c))
+
+
+def ring_window(model, params, xs, state, dones=None, chunk=None):
     """Whole-trajectory forward without the scan (see module docstring).
-    Chunks T > N into <= N windows (each slot is overwritten at most once
-    per chunk, which is what makes the kill-cumsum exact)."""
+    Chunks T into windows of length <= min(N, memory bound): each slot is
+    overwritten at most once per chunk (what makes the kill-cumsum exact —
+    any chunk length <= N qualifies), and the chunk length is capped so the
+    [B, c, N+c, F] intermediates respect config.RING_WINDOW_CHUNK_BYTES
+    (max_chunk_len). chunk= overrides the automatic choice."""
     assert dones is None, "ring window(): dones not supported — use scan"
     assert window_supported(model), (
         "ring window(): unsupported model structure — use scan "
         "(see ring_window.window_supported)")
     B, T, F = xs.shape
     N = model.graph_size
+    if chunk is None:
+        chunk = max_chunk_len(model, B, F)
+    chunk = max(1, min(chunk, N))
     outs = []
-    for s in range(0, T, N):
-        o, state = _window_chunk(model, params, xs[:, s:s + N], state)
+    for s in range(0, T, chunk):
+        o, state = _window_chunk(model, params, xs[:, s:s + chunk], state)
         outs.append(o)
     return (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1),
             state)

@@ -98,6 +98,15 @@ class SparseGCM:
         # Falls back to the masked path when the selector has no structural
         # bound (learned/spatial: reachability is data-dependent) or an aux
         # selector adds unbounded edges.
+        # ASSUMPTION (hop_cap='auto'): the state's edge HISTORY was produced
+        # by this same selector configuration. A state imported from a
+        # different config (converters, externally built edges, a selector
+        # swap mid-run) can have reachable sets exceeding the structural
+        # bound; the compaction then silently drops the oldest reachable
+        # nodes and outputs diverge from the masked path. The drop count is
+        # surfaced as aux["hop_overflow"] (return_aux=True); call
+        # check_hop_overflow(aux) outside jit to turn it into a raise
+        # (mirrors check_overflow for capacity).
         if hop_cap is not None:
             assert hop_cap == "auto" or isinstance(hop_cap, int), hop_cap
             assert max_hops is not None, "hop_cap requires max_hops"
@@ -459,6 +468,25 @@ class SparseGCM:
 
         if np.any(np.asarray(state.t + taus) > self.graph_size):
             raise Exception("Overflow")
+
+    def check_hop_overflow(self, aux) -> None:
+        """Outside-jit guard for hop_cap truncation: raises when the
+        compacted subgraph dropped reachable nodes (aux['hop_overflow'] > 0
+        from a return_aux=True call). With hop_cap='auto' a nonzero count
+        means the state's edge history violates the current selector's
+        structural reachability bound (see the constructor's ASSUMPTION
+        note) — outputs are diverging from the masked max_hops path."""
+        import numpy as np
+
+        if "hop_overflow" not in aux:
+            return
+        dropped = np.asarray(aux["hop_overflow"])
+        if np.any(dropped > 0):
+            raise Exception(
+                f"hop_cap dropped {int(dropped.max())} reachable node(s) "
+                "per batch (aux['hop_overflow']); the cap is too small for "
+                "this state's edge history — raise hop_cap or use the "
+                "masked max_hops path (hop_cap=None)")
 
     def scan(self, params, xs, state: SparseGraphState, key=None, dones=None,
              unroll: int | None = None):

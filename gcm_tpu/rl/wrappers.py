@@ -357,7 +357,7 @@ class GCMActorCritic:
         return logits, value, state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 dones=None, unroll=None, remat=False):
+                 dones=None, unroll=None, remat=False, train=False):
         """Whole trajectory: obs_seq [B, T, obs_dim] ->
         (logits [B, T, A], values [B, T], state).
 
@@ -369,7 +369,15 @@ class GCMActorCritic:
         unroll: lax.scan unroll override for the scan path (window path
         ignores it). Trainers pass the measured training default — the
         fused ring core prefers unroll=1 forward but unroll=4 under grad
-        (MEASURE_r4/state_churn2: 1.28M vs 1.09M fwd+bwd)."""
+        (MEASURE_r4/state_churn2: 1.28M vs 1.09M fwd+bwd).
+
+        train: True when this call sits under jax.grad (trainers set it) —
+        the window-vs-scan gates are MODE-dependent (the reference's own
+        per-step rollout vs whole-window training split, ray_gcm.py:200-202
+        vs ray_sparse_gcm.py:201-213): the ring window's training crossover
+        (N=512) comes earlier than its forward one (N=1024) because the
+        scan backward saves a [B,N,N] carry residual per step
+        (BASELINE.md round-4b ring_window rows)."""
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None
@@ -379,10 +387,17 @@ class GCMActorCritic:
                       and getattr(self.core, "direction", "forward")
                       == "forward")
         if use_window and hasattr(self.core, "window_profitable"):
-            # measured per-core/backend dispatch (BASELINE.md round 3: the
-            # clique window LOSES to its scan on TPU while winning on CPU;
-            # the banded window wins everywhere)
-            use_window = self.core.window_profitable()
+            # measured per-core/backend/mode dispatch (BASELINE.md round 3:
+            # the clique window LOSES to its scan on TPU while winning on
+            # CPU; the banded window wins everywhere; the ring window wins
+            # above its measured N crossovers, earlier under grad)
+            use_window = self.core.window_profitable(
+                mode="train" if train else "forward")
+        if use_window and hasattr(self.core, "window_applicable"):
+            # structural pre-check (ring core: dones / unsupported selector
+            # structures must take the scan path WITH the caller's
+            # unroll/remat, not window()'s bare internal fallback)
+            use_window = self.core.window_applicable(dones=dones)
         if use_window:
             # fast cores (banded/clique): scan-free whole-trajectory
             # forward, output-identical to scan (bitwise for the banded
@@ -455,14 +470,15 @@ class SparseGCMActorCritic(GCMActorCritic):
         return logits[:, 0], values[:, 0], state
 
     def __call__(self, params, obs_seq, state, prev_actions=None, key=None,
-                 taus=None, dones=None, unroll=None, remat=False):
+                 taus=None, dones=None, unroll=None, remat=False,
+                 train=False):
         """dones: optional [B, T] episode terminations — restricts edges and
         positional encoding to within-episode pairs in the single whole-window
         SparseGCM call (reference ray_sparse_gcm.py:195-200 seq_lens
-        semantics). unroll is accepted for trainer-signature compatibility
-        and ignored: the sparse core has no per-step scan to unroll (one
-        time-batched call)."""
-        del unroll, remat
+        semantics). unroll/train are accepted for trainer-signature
+        compatibility and ignored: the sparse core has no per-step scan to
+        unroll (one time-batched call in both modes)."""
+        del unroll, remat, train
         B, T, _ = obs_seq.shape
         x = self._concat_prev_action(
             obs_seq, prev_actions if prev_actions is not None

@@ -320,3 +320,34 @@ class TestHopCapAuto:
             assert auto._resolve_hop_cap(t=t, N=N, F=F) is None
         finally:
             self._restore(old)
+
+
+class TestCheckHopOverflow:
+    """check_hop_overflow — the outside-jit guard for hop_cap truncation
+    (ADVICE r4: silent divergence was only visible by reading aux)."""
+
+    def _pair(self, cap, hops):
+        return TestHopCapCompaction._pair(TestHopCapCompaction(), cap=cap,
+                                          hops=hops)
+
+    def test_clean_aux_passes(self):
+        _, compact, params = self._pair(cap=8, hops=2)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (B, 2, F))
+        sc = compact.initial_state(B, F)
+        _, _, aux = compact(params, xs, jnp.full((B,), 2, jnp.int32), sc,
+                            return_aux=True)
+        compact.check_hop_overflow(aux)  # no raise
+        compact.check_hop_overflow({})  # no hop_cap in play -> no-op
+
+    def test_truncation_raises(self):
+        import pytest
+
+        _, compact, params = self._pair(cap=3, hops=2)
+        xs = jax.random.normal(jax.random.PRNGKey(6), (B, t, F))
+        sc = compact.initial_state(B, F)
+        _, sc = compact(params, xs[:, :3], jnp.full((B,), 3, jnp.int32), sc)
+        _, _, aux = compact(params, xs[:, 3:6],
+                            jnp.full((B,), 3, jnp.int32), sc,
+                            return_aux=True)
+        with pytest.raises(Exception, match="hop_cap dropped"):
+            compact.check_hop_overflow(aux)

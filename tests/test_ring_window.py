@@ -191,3 +191,98 @@ class TestRingWindowGrad:
         for a, b in zip(en_s, en_w):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestChunked:
+    """Memory-bounded chunking (config.RING_WINDOW_CHUNK_BYTES): any chunk
+    length <= N threads the state identically — the VERDICT r4 OOM fix must
+    not change a single output."""
+
+    def test_explicit_chunk_sizes(self):
+        model, params = build(lambda: EuclideanEdge(max_distance=1.0))
+        xs = jax.random.normal(jax.random.PRNGKey(3), (3, 20, 5))
+        st = model.initial_state(3, 5)
+        ref_o, ref_st = ring_window(model, params, xs, st, chunk=model.graph_size)
+        for chunk in (1, 3, 5, 7, 100):  # incl. non-divisors and > N (clamped)
+            o, fst = ring_window(model, params, xs, st, chunk=chunk)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o),
+                                       atol=1e-5, rtol=0)
+            np.testing.assert_allclose(np.asarray(fst.adj),
+                                       np.asarray(ref_st.adj), atol=1e-5,
+                                       rtol=0)
+            np.testing.assert_array_equal(np.asarray(fst.nodes),
+                                          np.asarray(ref_st.nodes))
+
+    def test_auto_chunk_respects_budget(self, monkeypatch):
+        """max_chunk_len keeps B*c*(N+c)*Fwide*4 under the configured byte
+        budget (or degenerates to c=1), and a squeezed budget still yields
+        scan-exact outputs."""
+        from gcm_tpu import config
+        from gcm_tpu.models.ring_window import max_chunk_len
+
+        model, params = build(lambda: EuclideanEdge(max_distance=1.0),
+                              B=2, N=8, F=4)
+        B, F, N = 2, 4, 8
+        for budget in (10_000, 4_000, 1_000):
+            monkeypatch.setattr(config, "RING_WINDOW_CHUNK_BYTES", budget)
+            c = max_chunk_len(model, B, F)
+            assert 1 <= c <= N
+            assert c == 1 or B * c * (N + c) * F * 4 <= budget
+        monkeypatch.setattr(config, "RING_WINDOW_CHUNK_BYTES", 1_500)
+        c = max_chunk_len(model, B, F)
+        assert c < N  # the squeeze engaged
+        xs = jax.random.normal(jax.random.PRNGKey(4), (B, 19, F))
+        st = model.initial_state(B, F)
+        outs_s, st_s = model.scan(params, xs, st)
+        outs_w, st_w = ring_window(model, params, xs, st)  # auto chunk
+        np.testing.assert_allclose(np.asarray(outs_s), np.asarray(outs_w),
+                                   atol=1e-5, rtol=0)
+        np.testing.assert_allclose(np.asarray(st_s.adj), np.asarray(st_w.adj),
+                                   atol=1e-5, rtol=0)
+
+    def test_learned_widens_the_bound(self):
+        """The learned selector's pair-concat doubles the widest feature dim
+        the budget must cover."""
+        from gcm_tpu.models.ring_window import max_chunk_len
+
+        m_plain, _ = build(lambda: EuclideanEdge(max_distance=1.0),
+                           B=2, N=8, F=4)
+        m_learned, _ = build(
+            lambda: LearnedEdge(input_size=4, deterministic=True),
+            B=2, N=8, F=4)
+        assert (max_chunk_len(m_learned, 2, 4)
+                <= max_chunk_len(m_plain, 2, 4))
+
+
+class TestTrainAwareGate:
+    """window_profitable(mode) — the measured (N, mode) crossovers
+    (BASELINE.md round-4b: train flips at N=512, forward at N=1024)."""
+
+    def _model(self, N):
+        model, _ = build(lambda: EuclideanEdge(max_distance=1.0), N=N)
+        return model
+
+    def test_crossovers(self):
+        assert not self._model(128).window_profitable("forward")
+        assert not self._model(128).window_profitable("train")
+        assert not self._model(512).window_profitable("forward")
+        assert self._model(512).window_profitable("train")
+        assert self._model(1024).window_profitable("forward")
+        assert self._model(1024).window_profitable("train")
+
+    def test_tunable(self, monkeypatch):
+        from gcm_tpu import config
+
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 4)
+        assert self._model(6).window_profitable("train")
+        assert not self._model(6).window_profitable("forward")
+
+    def test_window_applicable(self):
+        m = self._model(6)
+        assert m.window_applicable(dones=None)
+        assert not m.window_applicable(dones=jnp.zeros((2, 3), bool))
+        m_bidir = RingDenseGCM(
+            DenseGNN([DenseGraphConv(5, 5), jnp.tanh]),
+            edge_selectors=TemporalBackedge([1], direction="both"),
+            graph_size=6)
+        assert not m_bidir.window_applicable(dones=None)

@@ -633,3 +633,78 @@ class TestRelativePEConfig:
         env = RecallEnv()
         with pytest.raises(AssertionError, match="relative"):
             make_policy(env, core="ring", positional_encoding="relative")
+
+
+class TestRingWindowDispatch:
+    """Train-aware ring-window dispatch (VERDICT r4 missing #1/#2): the
+    wrapper's whole-trajectory call takes the scan-free window() exactly
+    when the measured (N, mode) gate fires AND the structure supports it;
+    trainers flag their loss call with train=True."""
+
+    def _policy(self, env, N=8):
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        return make_policy(env, core="ring", use_prev_action=False,
+                           edge_selectors=EuclideanEdge(max_distance=1.0),
+                           graph_size=N)
+
+    def _spy(self, monkeypatch, core):
+        calls = []
+        real_scan, real_window = core.scan, core.window
+        monkeypatch.setattr(
+            core, "scan",
+            lambda *a, **k: calls.append("scan") or real_scan(*a, **k))
+        monkeypatch.setattr(
+            core, "window",
+            lambda *a, **k: calls.append("window") or real_window(*a, **k))
+        return calls
+
+    def test_mode_and_dones_routing(self, monkeypatch):
+        from gcm_tpu import config
+
+        env = RecallEnv()
+        pol = self._policy(env, N=8)
+        params = pol.init(jax.random.PRNGKey(0))
+        B, T = 2, 6
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 8)
+        monkeypatch.setattr(config, "RING_WINDOW_FWD_MIN_N", 16)
+        calls = self._spy(monkeypatch, pol.core)
+
+        # forward mode below the fwd crossover -> scan
+        pol(params, obs, pol.initial_state(B))
+        assert calls == ["scan"]
+        # train mode at/above the train crossover -> window
+        calls.clear()
+        pol(params, obs, pol.initial_state(B), train=True)
+        assert calls == ["window"]
+        # dones force the scan even when the train gate fires (the ring
+        # window cannot replay mid-trajectory resets)
+        calls.clear()
+        dones = jnp.zeros((B, T), bool).at[0, 2].set(True)
+        pol(params, obs, pol.initial_state(B), dones=dones, train=True)
+        assert calls == ["scan"]
+
+    def test_window_train_matches_scan_train(self, monkeypatch):
+        """Outputs and gradients agree between the two dispatch outcomes."""
+        from gcm_tpu import config
+
+        env = RecallEnv()
+        pol = self._policy(env, N=8)
+        params = pol.init(jax.random.PRNGKey(0))
+        B, T = 2, 6
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, T, env.obs_dim))
+
+        def loss(p, train_flag):
+            logits, values, _ = pol(p, obs, pol.initial_state(B),
+                                    train=train_flag)
+            return jnp.mean(logits ** 2) + jnp.mean(values ** 2)
+
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 8)
+        l_w, g_w = jax.value_and_grad(loss)(params, True)
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 1 << 30)
+        l_s, g_s = jax.value_and_grad(loss)(params, True)
+        assert np.allclose(float(l_w), float(l_s), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_w), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)

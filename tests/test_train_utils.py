@@ -173,3 +173,75 @@ class TestPrecisionUtils:
         assert n == hand and n > 0
         s = summarize(params)
         assert "TOTAL" in s and f"{n:,}" in s
+
+
+class TestTrajectorySupervisedStep:
+    """make_trajectory_supervised_step: the train-aware window-vs-scan
+    dispatch as a first-class training-step factory (the reference's
+    per-step rollout vs whole-window training split, ray_gcm.py:200-202 vs
+    ray_sparse_gcm.py:201-213)."""
+
+    def _model(self, N=8):
+        from gcm_tpu.edges.distance import EuclideanEdge
+        from gcm_tpu.models.ring_gcm import RingDenseGCM
+        from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+        from gcm_tpu.nn.module import MLP, Linear
+
+        gnn = DenseGNN([DenseGraphConv(8, 8), jnp.tanh,
+                        DenseGraphConv(8, 8), jnp.tanh])
+        return RingDenseGCM(
+            gnn, preprocessor=MLP([Linear(4, 8)]),
+            edge_selectors=EuclideanEdge(max_distance=1.0), graph_size=N)
+
+    def test_window_dispatch_matches_scan_step(self, monkeypatch):
+        import optax
+
+        from gcm_tpu import config
+        from gcm_tpu.train.train_step import (
+            make_dense_supervised_step, make_trajectory_supervised_step)
+
+        model = self._model(N=8)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 4))
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 8))
+        opt = optax.adam(1e-2)
+
+        # force the training gate on — the factory must bind window()
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 8)
+        spy = []
+        real_window = model.window
+        monkeypatch.setattr(
+            model, "window",
+            lambda *a, **k: spy.append("window") or real_window(*a, **k))
+        step_w = make_trajectory_supervised_step(model, opt)
+        p_w, _, l_w = step_w(params, opt.init(params), xs, tgt)
+        assert spy == ["window"]
+
+        step_s = make_dense_supervised_step(model, opt)
+        p_s, _, l_s = step_s(params, opt.init(params), xs, tgt)
+        assert np.allclose(float(l_w), float(l_s), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_w),
+                        jax.tree_util.tree_leaves(p_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_scan_dispatch_below_gate(self, monkeypatch):
+        import optax
+
+        from gcm_tpu import config
+        from gcm_tpu.train.train_step import make_trajectory_supervised_step
+
+        model = self._model(N=8)
+        monkeypatch.setattr(config, "RING_WINDOW_TRAIN_MIN_N", 1 << 30)
+        spy = []
+        real_scan = model.scan
+        monkeypatch.setattr(
+            model, "scan",
+            lambda *a, **k: spy.append("scan") or real_scan(*a, **k))
+        opt = optax.adam(1e-2)
+        step = make_trajectory_supervised_step(model, opt)
+        params = model.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 4))
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 8))
+        step(params, opt.init(params), xs, tgt)
+        assert spy == ["scan"]
