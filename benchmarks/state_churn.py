@@ -79,14 +79,17 @@ def ring_scan_fn(unroll, adj_dtype=None):
     return fn
 
 
-def ring_train_fn(unroll):
-    """fwd+bwd: grad of an L2 loss through the scan (training shape)."""
-    model = ring_model()
+def ring_train_fn(unroll, remat=False, kind=None):
+    """fwd+bwd: grad of an L2 loss through the scan (training shape).
+    remat: False | K (chunked) | 'reverse' (the r5 reversible backward).
+    kind: None = flagship temporal config; 'euclidean'/'learned' = the
+    scored ring configs."""
+    model = ring_model() if kind is None else scored_model(kind)
     params = model.init(jax.random.PRNGKey(0))
     state0 = model.initial_state(B, OBS)
 
     def loss(p, xs):
-        outs, _ = model.scan(p, xs, state0, unroll=unroll)
+        outs, _ = model.scan(p, xs, state0, unroll=unroll, remat=remat)
         return jnp.sum(outs ** 2)
 
     def fn(xs, T):
@@ -269,6 +272,10 @@ def main():
                          "per-core default unrolls, same pass, on the "
                          "temporal/euclidean/learned configs (decides the "
                          "core='auto' general-selector fallback)")
+    ap.add_argument("--reverse", action="store_true",
+                    help="measure the reversible fused-ring backward "
+                         "(remat='reverse') vs plain and chunked-remat "
+                         "training, same pass, temporal + euclidean configs")
     ap.add_argument("--structured", action="store_true",
                     help="re-pin the core='auto' STRUCTURED crossovers "
                          "against the FUSED dense core (VERDICT r4 weak #1): "
@@ -363,6 +370,22 @@ def main():
                 record(f"dense_{tag}_train_u4", rate, slope)
         finally:
             config.DENSE_FUSED_STEP = prev
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
+
+    if args.reverse:
+        variants = (("plain", False), ("chunk32", 32), ("reverse", "reverse"))
+        for i, (tag, remat) in enumerate(variants):
+            rate, slope = slope_rate(ring_train_fn(4, remat=remat),
+                                     *args.t_dense, seed=701 + i)
+            record(f"ring_temporal_train_{tag}", rate, slope)
+        for i, (tag, remat) in enumerate(variants):
+            rate, slope = slope_rate(
+                ring_train_fn(4, remat=remat, kind="euclidean"),
+                *args.t_dense, seed=721 + i)
+            record(f"ring_euclid_train_{tag}", rate, slope)
         print(json.dumps({"backend": jax.default_backend(),
                           "workload": f"B={B} obs={OBS} hid={HID} N={N}",
                           "results": results}), flush=True)

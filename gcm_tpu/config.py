@@ -89,6 +89,15 @@ DENSE_FUSED_STEP: bool = True
 # train through window().
 TRAIN_REMAT_CHUNK: int = 32
 
+# Reversible backward for the fused ring scan (models/ring_reversible.py):
+# the training-side scan saves the [B,N,N] adjacency carry per step; the
+# fused step's rewrite is invertible from the evicted row/column, so the
+# backward can reconstruct it in the reverse pass instead (residuals shrink
+# O(B*N^2) -> O(B*(2N+F)) per step). train_remat_for returns 'reverse' when
+# this is on and the call qualifies (no dones/key/edge_weights). Default
+# pending TPU measurement (benchmarks/state_churn.py --reverse).
+RING_REVERSE_BWD: bool = False
+
 # lax.scan unroll for the FUSED ring step specifically: the single pointwise
 # rewrite aliases the carry in place, and unrolling breaks that (measured
 # round 4: 6.41M at unroll=1 vs 4.14M at unroll=4). Other cores keep
@@ -151,7 +160,8 @@ _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
                  "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
                  "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
-                 "NAV_INCREMENTAL_MIN_V", "RING_WINDOW_FWD_MIN_N",
+                 "NAV_INCREMENTAL_MIN_V", "RING_REVERSE_BWD",
+                 "RING_WINDOW_FWD_MIN_N",
                  "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES")
 
 

@@ -450,12 +450,24 @@ class RingDenseGCM:
              remat=False, unroll=None):
         """dones: optional [B, T] episode terminations — wipes the memory of
         finished episodes after each step (see DenseGCM.scan). remat/unroll:
-        see DenseGCM.scan. With the fused step, unroll=None takes the
-        ring-specific measured default (config.RING_SCAN_UNROLL=1: the
-        in-place carry rewrite is what unrolling breaks)."""
+        see DenseGCM.scan; remat='reverse' additionally selects the
+        REVERSIBLE backward (models/ring_reversible.py: the [B,N,N] carry
+        residual is reconstructed in the reverse pass instead of saved per
+        step — requires key=None, dones=None, no edge_weights). With the
+        fused step, unroll=None takes the ring-specific measured default
+        (config.RING_SCAN_UNROLL=1: the in-place carry rewrite is what
+        unrolling breaks)."""
         from gcm_tpu import config
         from gcm_tpu.models.dense_gcm import _scan_with_resets
 
+        if remat == "reverse":
+            from gcm_tpu.models.ring_reversible import (reversible_scan,
+                                                        reversible_supported)
+
+            assert reversible_supported(self, key, dones), (
+                "remat='reverse' needs key=None, dones=None and "
+                "edge_weights off (see ring_reversible.reversible_supported)")
+            return reversible_scan(self, params, xs, state)
         if unroll is None and config.RING_FUSED_STEP:
             unroll = config.RING_SCAN_UNROLL
         return _scan_with_resets(self, params, xs, state, key, dones, remat,

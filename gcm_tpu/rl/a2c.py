@@ -134,7 +134,8 @@ class A2C:
                                         unroll=config.SCAN_UNROLL,
                                         remat=train_remat_for(
                                             getattr(self.policy, "core",
-                                                    None), T),
+                                                    None), T,
+                                            dones=traj["dones"]),
                                         train=True)
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)

@@ -81,7 +81,8 @@ class PPO(A2C):
                                         unroll=config.SCAN_UNROLL,
                                         remat=train_remat_for(
                                             getattr(self.policy, "core",
-                                                    None), T),
+                                                    None), T,
+                                            dones=traj_mb["dones"]),
                                         train=True)
         logp = self.dist.log_prob(logits, traj_mb["actions"])
         entropy = self.dist.entropy(logits)

@@ -90,19 +90,29 @@ class _FrozenMLP:
         return self.inner(frozen, x)
 
 
-def train_remat_for(core, T: int):
+def train_remat_for(core, T: int, dones=None, key=None):
     """Measured training-side remat choice for a whole-trajectory update:
     chunked checkpointing (scan remat=K) on the ring core — +50-85% fwd+bwd
     across 3 TPU passes (MEASURE_r4) because the per-step [B,N,N] carry
     residual is saved only at chunk boundaries. False elsewhere: dense
     measured a wash; the fast cores train through window(). K = largest
     divisor of T up to config.TRAIN_REMAT_CHUNK (chunking needs T % K == 0;
-    forward stays bit-identical for any K)."""
+    forward stays bit-identical for any K).
+
+    With config.RING_REVERSE_BWD and a reversible-capable call (no dones/
+    key/edge_weights), returns 'reverse' instead: the r5 reversible
+    backward reconstructs the carry in the reverse scan and saves NO
+    per-step [B,N,N] residual (models/ring_reversible.py)."""
     from gcm_tpu import config
     from gcm_tpu.models.ring_gcm import RingDenseGCM
 
     if not isinstance(core, RingDenseGCM):
         return False
+    if config.RING_REVERSE_BWD:
+        from gcm_tpu.models.ring_reversible import reversible_supported
+
+        if reversible_supported(core, key=key, dones=dones):
+            return "reverse"
     K = min(config.TRAIN_REMAT_CHUNK, T)
     while K > 1 and T % K:
         K -= 1
