@@ -1,0 +1,140 @@
+"""Scalar-driven per-edge SpMM — the fifth (and last unexplored) kernel
+family (VERDICT r4 weak #5): edge indices blocked into SMEM drive dynamic
+single-row VMEM gather/accumulate, one edge at a time.
+
+Formulation: edges are pre-bucketed by sink block (the shard that owns
+their sink row). Grid = (B, n_blocks); per step the kernel holds the whole
+x[b] ([N, F]) and the out block ([S, F]) in VMEM, the block's edge list
+(local sink, source, weight) as (1, 1, K) SMEM/VMEM slices, and runs a
+fori_loop over the K edge slots:
+
+    out[sink_local] += w * x[src]        (dynamic rows WITHIN one tile)
+
+This is the "scalar-prefetch-driven dynamic gather" family: unlike the
+one-hot/MXU form (spmm.py — builds [C, N] one-hots), the slot form
+(spmm_slots.py — needs a structural degree bound), and the segmented sort
+(spmm_seg.py), it does exactly 2·F flops per edge with no layout blowup —
+the asymptotically "right" SpMM. Its cost is per-edge VPU serialization: a
+[1, F] row FMA uses one of 8 sublanes and every edge is a sequential loop
+iteration, so the ceiling is the scalar-loop issue rate, not HBM.
+
+Measured on TPU v5e (benchmarks/spmm_variants.py --prefetch, B=64 N=512
+E=8192 F=128): see BASELINE.md SpMM table — recorded either way per the
+dispatch-by-measurement rule. Exact f32 accumulation (no matmul), like the
+reference's torch_scatter sum (sparse_gcm.py:178).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def bucket_edges_sink_blocks(edges, weights, num_nodes: int, n_blocks: int,
+                             cap: int | None = None):
+    """Reorder a padded edge list into per-sink-block buckets with LOCAL
+    sink coordinates. Returns (sl [B, nblk, K], src [B, nblk, K],
+    w [B, nblk, K], dropped [B]): sl = sink − block_start (−1 invalid).
+    cap defaults to E (lossless); smaller caps drop overflow (counted)."""
+    B, _, E = edges.shape
+    K = E if cap is None else cap
+    S = num_nodes // n_blocks
+    valid = (edges[:, 0, :] >= 0) & (edges[:, 1, :] >= 0)
+    blk = jnp.where(valid, jnp.clip(edges[:, 0, :] // S, 0, n_blocks - 1),
+                    n_blocks)
+    sls, srcs, ws = [], [], []
+    kept = jnp.zeros((B,), jnp.int32)
+    for j in range(n_blocks):
+        m = blk == j
+        order = jnp.argsort(~m, axis=-1, stable=True)[:, :K]
+        ok = jnp.take_along_axis(m, order, axis=-1)
+        sink = jnp.take_along_axis(edges[:, 0, :], order, axis=-1)
+        src = jnp.take_along_axis(edges[:, 1, :], order, axis=-1)
+        w = jnp.take_along_axis(weights, order, axis=-1)
+        sls.append(jnp.where(ok, sink - j * S, -1).astype(jnp.int32))
+        srcs.append(jnp.where(ok, src, 0).astype(jnp.int32))
+        ws.append(jnp.where(ok, w, 0.0))
+        kept = kept + jnp.sum(ok, axis=-1).astype(jnp.int32)
+    total = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    return (jnp.stack(sls, axis=1), jnp.stack(srcs, axis=1),
+            jnp.stack(ws, axis=1), total - kept)
+
+
+def _kernel(S: int, K: int, unroll: int):
+    def kernel(sl_ref, src_ref, w_ref, x_ref, out_ref):
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        def body(i, _):
+            for u in range(unroll):
+                k = i * unroll + u
+                s = sl_ref[0, 0, k]
+                r = src_ref[0, 0, k]
+
+                @pl.when(s >= 0)
+                def _():
+                    row = x_ref[0, pl.ds(r, 1), :]
+                    out_ref[0, pl.ds(s, 1), :] += w_ref[0, 0, k] * row
+            return 0
+
+        jax.lax.fori_loop(0, K // unroll, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "unroll"))
+def spmm_prefetch_bucketed(x, sl, src, w, num_nodes: int, unroll: int = 8):
+    """The kernel over PRE-bucketed per-sink-block edge arrays (from
+    bucket_edges_sink_blocks) — benchmarks thread these as explicit args so
+    the bucketing pass isn't re-paid (or re-uploaded) per chain step."""
+    B, N, F = x.shape
+    n_blocks = sl.shape[1]
+    assert num_nodes % n_blocks == 0
+    S = num_nodes // n_blocks
+    K = sl.shape[-1]
+    if K % unroll:
+        pad = unroll - K % unroll
+        sl = jnp.pad(sl, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+        K += pad
+
+    grid = (B, n_blocks)
+    return pl.pallas_call(
+        _kernel(S, K, unroll),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, F), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, F), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, num_nodes, F), x.dtype),
+        interpret=_use_interpret(),
+    )(sl, src, w, x)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "n_blocks",
+                                             "unroll"))
+def spmm_prefetch(x, edges, weights, num_nodes: int | None = None,
+                  n_blocks: int = 4, unroll: int = 8):
+    """out[b, i] = Σ_{e: sink_e = i} w_e · x[b, src_e] via the per-edge
+    scalar-loop kernel. Signature-compatible with ops.dispatch.spmm."""
+    if num_nodes is None:
+        num_nodes = x.shape[1]
+    sl, src, w, _ = bucket_edges_sink_blocks(edges, weights, num_nodes,
+                                             n_blocks)
+    return spmm_prefetch_bucketed(x, sl, src, w, num_nodes, unroll=unroll)

@@ -4,6 +4,7 @@ SURVEY.md §7 step 3's contract: kernels swap in behind the same signature."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gcm_tpu.nn.dense_conv import DenseGraphConv
 from gcm_tpu.ops.distance import cosine_score, euclidean_score
@@ -351,3 +352,50 @@ class TestSpMMSeg:
                                                 per_chunk.shape[1], -1)
         want = valid.reshape(*per_chunk.shape, -1).sum(axis=-1)
         assert (per_chunk == want).all()
+
+
+class TestSpmmPrefetch:
+    """Scalar-loop SpMM (ops/pallas/spmm_prefetch.py, the fifth kernel
+    family): interpret-mode parity vs the XLA scatter, bucketing contract."""
+
+    def _graph(self, B=3, N=16, E=40, F=8, seed=0):
+        from gcm_tpu.ops.scatter import edge_scatter_add
+
+        x = jax.random.normal(jax.random.PRNGKey(seed), (B, N, F))
+        sink = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, E), 0, N)
+        src = jax.random.randint(jax.random.PRNGKey(seed + 2), (B, E), 0, N)
+        edges = jnp.stack([sink, src], 1).astype(jnp.int32)
+        edges = edges.at[:, :, -5:].set(-1)
+        w = jax.random.uniform(jax.random.PRNGKey(seed + 3), (B, E))
+        return x, edges, w, edge_scatter_add(x, edges, w)
+
+    @pytest.mark.parametrize("nblk", [1, 2, 4])
+    def test_parity(self, nblk):
+        from gcm_tpu.ops.pallas.spmm_prefetch import spmm_prefetch
+
+        x, edges, w, want = self._graph()
+        got = spmm_prefetch(x, edges, w, n_blocks=nblk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=0)
+
+    def test_bucketing_counts_drops(self):
+        from gcm_tpu.ops.pallas.spmm_prefetch import bucket_edges_sink_blocks
+
+        x, edges, w, _ = self._graph()
+        sl, src, ws, dropped = bucket_edges_sink_blocks(edges, w, 16, 4)
+        assert int(jnp.max(dropped)) == 0  # lossless cap=E
+        sl2, _, _, dropped2 = bucket_edges_sink_blocks(edges, w, 16, 4,
+                                                       cap=2)
+        # cap=2 per block must drop something for 35 valid edges / 4 blocks
+        assert int(jnp.max(dropped2)) > 0
+        # local sink coords stay in-block
+        S = 16 // 4
+        ok = np.asarray(sl) >= 0
+        assert ((np.asarray(sl)[ok] >= 0) & (np.asarray(sl)[ok] < S)).all()
+
+    def test_grad_not_required(self):
+        """The kernel is measurement-only (no custom VJP) — document that it
+        is not wired into ops.dispatch and stays out of the training path."""
+        from gcm_tpu.ops import dispatch
+
+        assert not hasattr(dispatch, "spmm_prefetch")
