@@ -52,6 +52,16 @@ DENSE_DEFAULT_CONFIG = {
     # but never exposes in a config path; dense core only)
     "positional_encoding": None,
     "positional_encoding_dim": 4,
+    # how core='auto' weighs its measured crossovers when stepwise and
+    # whole-trajectory modes disagree (the reference's per-step rollout vs
+    # whole-window training split, ray_gcm.py:200-202 vs
+    # ray_sparse_gcm.py:201-213):
+    #   'rl'               — collection steps + training replay (default)
+    #   'inference'        — stepwise forward only
+    #   'trajectory_train' — whole-trajectory window training dominates
+    # Only the windowed-distance rule currently differs by usage
+    # (BASELINE.md round-5 structured re-pin).
+    "usage": "rl",
 }
 
 SPARSE_DEFAULT_CONFIG = {
@@ -204,7 +214,11 @@ class GCMActorCritic:
         from gcm_tpu.edges.temporal import TemporalBackedge
 
         if isinstance(sel, TemporalBackedge) and not sel.learned:
-            return "banded"  # implicit banded adjacency, 4.5x the ring core
+            # round-5 same-pass re-pin vs the FUSED dense core
+            # (MEASURE_r5/structured_n128/n256): banded wins stepwise
+            # forward at both N (5.66M vs 3.63M / 3.90M vs 1.45M) and its
+            # window-train is 15-64x the dense scan train (21-40M)
+            return "banded"
         if isinstance(sel, DenseEdgeSel):
             return "clique"  # O(N·F·F') step vs O(N²·F)
         dist = None
@@ -218,9 +232,16 @@ class GCMActorCritic:
             dist = sel.selectors[1]
         if (dist is not None and dist.window is not None
                 and not getattr(dist, "bidirectional", False)
-                # measured crossover: the scored band loses to the dense
-                # adjacency below graph_size≈256 (BASELINE.md)
-                and cfg["graph_size"] >= 256):
+                # round-5 same-pass re-pin KILLED the old "graph_size >=
+                # 256" rule: post-fusion the dense core beats the scored
+                # band 8-13x stepwise fwd and 5-6x scan-train at every
+                # measured N (128/256/512, MEASURE_r5/structured_n*). The
+                # scored band's one remaining win is whole-trajectory
+                # WINDOW training (1.6-3.2x the dense scan train) — an RL
+                # update that also collects stepwise loses more on
+                # collection than the window saves, so only the
+                # trajectory-train usage routes here.
+                and cfg["usage"] == "trajectory_train"):
             return "banded_scored"
         return "dense"
 

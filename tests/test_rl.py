@@ -375,8 +375,9 @@ class TestTrainerOptKnobs:
 
 class TestAutoCore:
     """core='auto' picks the fastest parity core the selector structure
-    provably supports (per the BASELINE.md measurements), else the dense
-    core (fused-step head-to-head, MEASURE_r4/head2head2.log)."""
+    provably supports (per the BASELINE.md measurements, re-pinned against
+    the FUSED cores round 5 — MEASURE_r5/structured_n*), else the dense
+    core; the windowed-distance rule is usage-aware (cfg['usage'])."""
 
     def test_auto_selection_rules(self):
         from gcm_tpu.edges.chain import EdgeChain
@@ -389,15 +390,26 @@ class TestAutoCore:
             (dict(edge_selectors=TemporalBackedge([1], learned=True)),
              "dense"),
             (dict(edge_selectors=DenseEdge()), "clique"),
+            # round-5 re-pin (MEASURE_r5/structured_n*): post-fusion the
+            # dense core wins the windowed-distance family 8-13x stepwise
+            # at EVERY N — banded_scored routes only for the
+            # trajectory-train usage (its window-train still wins 1.6-3.2x)
             (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
-                  graph_size=512), "banded_scored"),
-            # below the measured banded_scored crossover -> general core
+                  graph_size=512), "dense"),
+            (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
+                  graph_size=512, usage="trajectory_train"),
+             "banded_scored"),
             (dict(edge_selectors=EuclideanEdge(max_distance=1.0, window=8),
                   graph_size=64), "dense"),
             (dict(edge_selectors=EdgeChain([
                 TemporalBackedge([1]),
                 EuclideanEdge(max_distance=1.0, window=8)]),
-                  graph_size=512), "banded_scored"),
+                  graph_size=512, usage="trajectory_train"),
+             "banded_scored"),
+            (dict(edge_selectors=EdgeChain([
+                TemporalBackedge([1]),
+                EuclideanEdge(max_distance=1.0, window=8)]),
+                  graph_size=512), "dense"),
             # unwindowed distance cannot use the band
             (dict(edge_selectors=EuclideanEdge(max_distance=1.0)), "dense"),
             # aux machinery falls back to the general core
