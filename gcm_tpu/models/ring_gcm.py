@@ -465,9 +465,9 @@ class RingDenseGCM:
                                                         reversible_supported)
 
             assert reversible_supported(self, key, dones), (
-                "remat='reverse' needs key=None, dones=None and "
-                "edge_weights off (see ring_reversible.reversible_supported)")
-            return reversible_scan(self, params, xs, state)
+                "remat='reverse' needs dones=None and edge_weights off "
+                "(see ring_reversible.reversible_supported)")
+            return reversible_scan(self, params, xs, state, key=key)
         if unroll is None and config.RING_FUSED_STEP:
             unroll = config.RING_SCAN_UNROLL
         return _scan_with_resets(self, params, xs, state, key, dones, remat,

@@ -46,15 +46,26 @@ import jax.numpy as jnp
 
 
 def reversible_supported(model, key=None, dones=None) -> bool:
+    """key IS supported (per-step keys are threaded and replayed bitwise in
+    the backward's re-execution); dones are not (a reset destroys the
+    information the reverse reconstruction needs), nor is edge_weights (the
+    [B,N,N] weights buffer would need its own evicted-row residuals)."""
+    del key
     from gcm_tpu.models.ring_gcm import RingDenseGCM
 
-    return (isinstance(model, RingDenseGCM) and key is None
+    return (isinstance(model, RingDenseGCM)
             and dones is None and not model.edge_weights)
 
 
-def reversible_scan(model, params, xs, state):
+def reversible_scan(model, params, xs, state, key=None):
     """Fused ring scan whose backward reconstructs the adjacency carry in
-    reverse instead of saving it per step. Returns (outs [B,T,F'], state')."""
+    reverse instead of saving it per step. Returns (outs [B,T,F'], state').
+    key: optional PRNG key for stochastic selectors — split into per-step
+    keys, threaded through the scan (bitcast to f32 so the custom_vjp sees
+    a differentiable dtype; zero cotangent), and replayed BITWISE when the
+    backward re-executes each step, so stochastic forward outputs are
+    identical to model.scan(key=...) and grads flow through the same
+    gumbel/STE custom VJPs."""
     from gcm_tpu.models.ring_gcm import RingGraphState
 
     assert reversible_supported(model), "see reversible_supported"
@@ -66,53 +77,69 @@ def reversible_scan(model, params, xs, state):
     # t is int32; custom_vjp wants differentiable-typed inputs, and t < 2^24
     # is exact in f32
     t0f = t0.astype(jnp.float32)
+    typed_key = False
+    if key is not None:
+        ks = jax.random.split(key, T)
+        typed_key = jnp.issubdtype(ks.dtype, jax.dtypes.prng_key)
+        kdata = jax.random.key_data(ks) if typed_key else ks  # [T, 2] u32
+        keys_f = jax.lax.bitcast_convert_type(kdata, jnp.float32)
+    else:
+        keys_f = jnp.zeros((T, 0), jnp.float32)  # no-key sentinel (empty)
 
-    def fused(p, x, nodes, adj, t):
+    def step_key(kf):
+        if kf.shape[-1] == 0:
+            return None
+        kd = jax.lax.bitcast_convert_type(kf, jnp.uint32)
+        return jax.random.wrap_key_data(kd) if typed_key else kd
+
+    def fused(p, x, kf, nodes, adj, t):
         # edge_weights is off (asserted above), so the weights leaf is an
         # empty placeholder — build it fresh rather than closing over a
         # possibly-traced value inside the custom_vjp body
         w = jnp.zeros((0,), nodes.dtype)
         out, st = model._call_fused(
-            p, x, RingGraphState(nodes, adj, w, t), None)
+            p, x, RingGraphState(nodes, adj, w, t), step_key(kf))
         return out, st.nodes, st.adj
 
     @jax.custom_vjp
-    def run(p, xs_in, nodes_in, adj_in, t0f_in):
-        (outs, nodesF, adjF, _), _ = _fwd_core(p, xs_in, nodes_in, adj_in,
-                                               t0f_in)
+    def run(p, xs_in, kf_in, nodes_in, adj_in, t0f_in):
+        (outs, nodesF, adjF, _), _ = _fwd_core(p, xs_in, kf_in, nodes_in,
+                                               adj_in, t0f_in)
         return outs, nodesF, adjF
 
-    def _fwd_core(p, xs_in, nodes_in, adj_in, t0f_in):
+    def _fwd_core(p, xs_in, kf_in, nodes_in, adj_in, t0f_in):
         t_start = t0f_in.astype(jnp.int32)
 
-        def step(carry, x):
+        def step(carry, inp):
+            x, kf = inp
             nodes, adj, t = carry
             pc = jnp.mod(t, N)
             ev_node = nodes[b_idx, pc]
             ev_row = adj[b_idx, pc, :]
             ev_col = adj[b_idx, :, pc]
-            out, nodes2, adj2 = fused(p, x, nodes, adj, t)
+            out, nodes2, adj2 = fused(p, x, kf, nodes, adj, t)
             return (nodes2, adj2, t + 1), (out, ev_node, ev_row, ev_col)
 
         (nodesF, adjF, tF), (outs, ev_n, ev_r, ev_c) = jax.lax.scan(
-            step, (nodes_in, adj_in, t_start), jnp.swapaxes(xs_in, 0, 1))
+            step, (nodes_in, adj_in, t_start),
+            (jnp.swapaxes(xs_in, 0, 1), kf_in))
         outs = jnp.swapaxes(outs, 0, 1)
         return (outs, nodesF, adjF, tF), (ev_n, ev_r, ev_c)
 
-    def run_fwd(p, xs_in, nodes_in, adj_in, t0f_in):
-        (outs, nodesF, adjF, tF), evs = _fwd_core(p, xs_in, nodes_in,
+    def run_fwd(p, xs_in, kf_in, nodes_in, adj_in, t0f_in):
+        (outs, nodesF, adjF, tF), evs = _fwd_core(p, xs_in, kf_in, nodes_in,
                                                   adj_in, t0f_in)
-        return (outs, nodesF, adjF), (p, xs_in, evs, nodesF, adjF, tF)
+        return (outs, nodesF, adjF), (p, xs_in, kf_in, evs, nodesF, adjF, tF)
 
     def run_bwd(res, cot):
-        p, xs_in, (ev_n, ev_r, ev_c), nodesF, adjF, tF = res
+        p, xs_in, kf_in, (ev_n, ev_r, ev_c), nodesF, adjF, tF = res
         g_outs, g_nodesF, g_adjF = cot
         g_p0 = jax.tree_util.tree_map(jnp.zeros_like, p)
         iarr = jnp.arange(N)
 
         def rstep(carry, per):
             nodes_post, adj_post, t_post, g_nodes, g_adj, g_p = carry
-            x, evn, evr, evc, g_out = per
+            x, kf, evn, evr, evc, g_out = per
             t_pre = t_post - 1
             pc = jnp.mod(t_pre, N)
             i_eq_p = iarr[None, :] == pc[:, None]  # [B, N]
@@ -122,24 +149,25 @@ def reversible_scan(model, params, xs, state):
                                 jnp.where(i_eq_p[:, None, :],
                                           evc[:, :, None], adj_post))
             _, vjp = jax.vjp(
-                lambda pp, xx, nn, aa: fused(pp, xx, nn, aa, t_pre),
+                lambda pp, xx, nn, aa: fused(pp, xx, kf, nn, aa, t_pre),
                 p, x, nodes_pre, adj_pre)
             gp, gx, g_nodes_pre, g_adj_pre = vjp((g_out, g_nodes, g_adj))
             g_p = jax.tree_util.tree_map(jnp.add, g_p, gp)
             return (nodes_pre, adj_pre, t_pre, g_nodes_pre, g_adj_pre,
                     g_p), gx
 
-        per = (jnp.swapaxes(xs_in, 0, 1), ev_n, ev_r, ev_c,
+        per = (jnp.swapaxes(xs_in, 0, 1), kf_in, ev_n, ev_r, ev_c,
                jnp.swapaxes(g_outs, 0, 1))
         (nodes0r, adj0r, _, g_nodes0, g_adj0, g_p), gx = jax.lax.scan(
             rstep, (nodesF, adjF, tF, g_nodesF, g_adjF, g_p0), per,
             reverse=True)
         g_xs = jnp.swapaxes(gx, 0, 1)
-        return g_p, g_xs, g_nodes0, g_adj0, jnp.zeros(tF.shape, jnp.float32)
+        return (g_p, g_xs, jnp.zeros_like(kf_in), g_nodes0, g_adj0,
+                jnp.zeros(tF.shape, jnp.float32))
 
     run.defvjp(run_fwd, run_bwd)
 
-    outs, nodesF, adjF = run(params, xs, nodes0, adj0, t0f)
+    outs, nodesF, adjF = run(params, xs, keys_f, nodes0, adj0, t0f)
     return outs, RingGraphState(nodesF, adjF, weights0,
                                 t0 + jnp.asarray(T, t0.dtype))
 

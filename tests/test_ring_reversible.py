@@ -94,7 +94,8 @@ class TestReversibleParity:
     def test_supported_gate(self):
         model, _ = build(SELECTORS["temporal"])
         assert reversible_supported(model)
-        assert not reversible_supported(model, key=jax.random.PRNGKey(0))
+        # keys ARE supported (threaded + replayed bitwise in the backward)
+        assert reversible_supported(model, key=jax.random.PRNGKey(0))
         assert not reversible_supported(model,
                                         dones=jnp.zeros((B, 3), bool))
         gnn = DenseGNN([DenseGraphConv(HID, HID), jnp.tanh],
@@ -123,5 +124,39 @@ class TestReversibleParity:
         g_r = jax.grad(lambda p: loss(p, True))(params)
         for a, b in zip(jax.tree_util.tree_leaves(g_s),
                         jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+    def test_stochastic_selector_with_key(self):
+        """Stochastic (gumbel) selector: forward identical to scan with the
+        same key; grads match autodiff (the per-step keys replay bitwise in
+        the backward re-execution)."""
+        model, params = build(
+            lambda: LearnedEdge(input_size=OBS, deterministic=False,
+                                num_edge_samples=3))
+        xs = jax.random.normal(jax.random.PRNGKey(6), (B, 10, OBS))
+        st = model.initial_state(B, OBS)
+        k = jax.random.PRNGKey(7)
+
+        outs_s, st_s = model.scan(params, xs, st, key=k)
+        outs_r, st_r = reversible_scan(model, params, xs, st, key=k)
+        np.testing.assert_array_equal(np.asarray(outs_s), np.asarray(outs_r))
+        np.testing.assert_array_equal(np.asarray(st_s.adj),
+                                      np.asarray(st_r.adj))
+
+        def loss(p, rev):
+            if rev:
+                o, _ = reversible_scan(model, p, xs, st, key=k)
+            else:
+                o, _ = model.scan(p, xs, st, key=k)
+            return jnp.sum(o ** 2)
+
+        g_s = jax.grad(lambda p: loss(p, False))(params)
+        g_r = jax.grad(lambda p: loss(p, True))(params)
+        leaves = list(zip(jax.tree_util.tree_leaves(g_s),
+                          jax.tree_util.tree_leaves(g_r)))
+        assert any(float(jnp.sum(jnp.abs(a))) > 0 for a, _ in leaves)
+        for a, b in leaves:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
