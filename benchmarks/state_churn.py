@@ -386,6 +386,13 @@ def main():
                 ring_train_fn(4, remat=remat, kind="euclidean"),
                 *args.t_dense, seed=721 + i)
             record(f"ring_euclid_train_{tag}", rate, slope)
+        # dense core (the flagship fwd_bwd metric's core): plain vs the
+        # dense reversible backward (models/dense_reversible.py)
+        for i, (tag, remat) in enumerate((("plain", False),
+                                          ("reverse", "reverse"))):
+            rate, slope = slope_rate(dense_remat_fn(4, remat),
+                                     *args.t_dense, seed=741 + i)
+            record(f"dense_temporal_train_{tag}", rate, slope)
         print(json.dumps({"backend": jax.default_backend(),
                           "workload": f"B={B} obs={OBS} hid={HID} N={N}",
                           "results": results}), flush=True)

@@ -464,7 +464,19 @@ class DenseGCM:
         / ray_sparse_gcm.py:195-200).
 
         remat: rematerialize steps in the backward pass; unroll: XLA loop
-        unrolling factor (bit-identical, see _scan_with_resets).
+        unrolling factor (bit-identical, see _scan_with_resets);
+        remat='reverse' selects the REVERSIBLE backward
+        (models/dense_reversible.py: the [B,N,N] carry is reconstructed in
+        the reverse pass by inverting the fused step's shift+rewrite —
+        requires dones=None, no edge_weights, fused-eligible selectors).
         """
+        if remat == "reverse":
+            from gcm_tpu.models.dense_reversible import (
+                dense_reversible_scan, dense_reversible_supported)
+
+            assert dense_reversible_supported(self, key, dones), (
+                "remat='reverse' needs dones=None, edge_weights off and "
+                "fused-eligible selectors (dense_reversible_supported)")
+            return dense_reversible_scan(self, params, xs, state, key=key)
         return _scan_with_resets(self, params, xs, state, key, dones, remat,
                                  unroll)
