@@ -39,8 +39,6 @@ through the same per-step loop; torch also saves per-step graph tensors).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -183,9 +183,16 @@ class ShardedSparseGCM:
 
     # -- forward -----------------------------------------------------------
     def __call__(self, params, x, taus, state: ShardedSparseState,
-                 return_aux: bool = False):
+                 key=None, dones=None, return_aux: bool = False):
         """x [B, t, F] zero-padded window, taus [B] valid lengths →
-        (mx [B, t, F_out] replicated, state'[, aux])."""
+        (mx [B, t, F_out] replicated, state'[, aux]). key/dones are
+        accepted for adapter-signature compatibility and must be None
+        (stochastic selectors and episode-aware replay stay on the
+        replicated core)."""
+        assert key is None, "sharded core: deterministic selectors only"
+        assert dones is None, (
+            "sharded core: episode-aware replay (dones) is not sharded — "
+            "use the replicated SparseGCM")
         B, t, F = x.shape
         d, nb, epl = self.d, self.nb, self.epl
         ax = self.axis

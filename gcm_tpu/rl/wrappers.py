@@ -66,6 +66,15 @@ DENSE_DEFAULT_CONFIG = {
 
 SPARSE_DEFAULT_CONFIG = {
     **DENSE_DEFAULT_CONFIG,
+    # mesh: a jax.sharding.Mesh routes the memory core to ShardedSparseGCM
+    # (parallel/sharded_sparse.py): the WHOLE step — node buffer, selector
+    # grid, compaction, edge append, conv — runs 1/d per device, for graph
+    # memories larger than one chip. Requires a supported selector
+    # (TemporalEdge / deterministic LearnedEdge), no aux/PE/max_hops, and
+    # no stochastic keys or dones at call time; graph_size and max_edges
+    # must divide the mesh axis.
+    "mesh": None,
+    "mesh_axis": "dp",
     "max_edges": 512,
     "max_hops": None,
     # gather-compact the k-hop subgraph to this many nodes (the reference
@@ -462,6 +471,23 @@ class SparseGCMActorCritic(GCMActorCritic):
                           GraphConv(go, go), jnp.tanh])
 
     def _build_core(self):
+        if self.cfg["mesh"] is not None:
+            from gcm_tpu.parallel.sharded_sparse import ShardedSparseGCM
+
+            assert not (self.cfg["aux_edge_selectors"]
+                        or self.cfg["positional_encoding"]
+                        or self.cfg["max_hops"] or self.cfg["pooled"]
+                        or self.cfg["edge_weights"]
+                        or self.cfg["aggregation"] == "slots"), (
+                "mesh= (end-to-end sharded core) supports only the plain "
+                "selector configuration — see ShardedSparseGCM")
+            gnn = self._gnn()
+            return ShardedSparseGCM(
+                gnn.layers, self.cfg["mesh"], axis=self.cfg["mesh_axis"],
+                preprocessor=_build_preprocessor(self.input_dim, self.cfg),
+                edge_selectors=self.cfg["edge_selectors"],
+                graph_size=self.cfg["graph_size"],
+                max_edges=self.cfg["max_edges"])
         pe = None
         if self.cfg["positional_encoding"]:
             pe = PositionalEncoding(

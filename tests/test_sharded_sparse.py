@@ -205,3 +205,71 @@ class TestStructure:
             src = sl[:, 1][ok]
             assert src.size == 0 or (
                 (src >= s * nb).all() and (src < (s + 1) * nb).all())
+
+
+class TestShardedProperty:
+    """Randomized parity: arbitrary window lengths / taus / warm states vs
+    the replicated core (hypothesis — static shapes per example class so
+    each compiles once)."""
+
+    def test_random_taus_and_windows(self):
+        from hypothesis import given, settings, strategies as st
+
+        single, sharded, params, _ = build_pair(lambda: TemporalEdge([1, 2]))
+        # jit once per model: taus/xs are traced, so every example reuses
+        # the same two compilations
+        f_s = jax.jit(lambda p, x, t, st_: single(p, x, t, st_))
+        f_h = jax.jit(lambda p, x, t, st_: sharded(p, x, t, st_))
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(st.integers(0, 4), min_size=2 * B, max_size=2 * B),
+               st.integers(0, 2 ** 31 - 1))
+        def check(taus_flat, seed):
+            ss = single.initial_state(B, OBS)
+            sh = sharded.initial_state(B, OBS)
+            for i, taus in enumerate((jnp.asarray(taus_flat[:B], jnp.int32),
+                                      jnp.asarray(taus_flat[B:], jnp.int32))):
+                w = jax.random.normal(jax.random.PRNGKey(seed + i),
+                                      (B, 4, OBS))
+                os_, ss = f_s(params, w, taus, ss)
+                oh_, sh = f_h(params, w, taus, sh)
+                np.testing.assert_allclose(np.asarray(os_), np.asarray(oh_),
+                                           atol=1e-5, rtol=0)
+            for b_i in range(B):
+                assert edge_set(ss.edges, ss.weights, b_i) == \
+                    edge_set(sh.edges, sh.weights, b_i)
+
+        check()
+
+
+class TestAdapterConfigPath:
+    """The sharded core is reachable from the adapter config (mesh=) and
+    produces the same logits/values as the replicated core."""
+
+    def test_mesh_config_matches_replicated(self):
+        from gcm_tpu.rl.wrappers import SparseGCMActorCritic
+
+        mesh = make_mesh(dp=8, tp=1)
+        common = dict(graph_size=64, max_edges=256, gnn_input_size=HID,
+                      gnn_output_size=HID,
+                      edge_selectors=TemporalEdge([1, 2]))
+        pol_r = SparseGCMActorCritic(OBS, 3, 3, **common)
+        pol_s = SparseGCMActorCritic(OBS, 3, 3, mesh=mesh, **common)
+        params = pol_r.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (B, 5, OBS))
+        lr, vr, _ = pol_r(params, obs, pol_r.initial_state(B))
+        ls, vs, _ = pol_s(params, obs, pol_s.initial_state(B))
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(ls),
+                                   atol=1e-5, rtol=0)
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vs),
+                                   atol=1e-5, rtol=0)
+
+    def test_mesh_rejects_unsupported_config(self):
+        from gcm_tpu.rl.wrappers import SparseGCMActorCritic
+
+        mesh = make_mesh(dp=8, tp=1)
+        with pytest.raises(AssertionError):
+            SparseGCMActorCritic(OBS, 3, 3, mesh=mesh, graph_size=64,
+                                 gnn_input_size=HID, gnn_output_size=HID,
+                                 edge_selectors=TemporalEdge([1]),
+                                 max_hops=2)
