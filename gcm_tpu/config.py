@@ -89,14 +89,17 @@ DENSE_FUSED_STEP: bool = True
 # train through window().
 TRAIN_REMAT_CHUNK: int = 32
 
-# Reversible backward for the fused ring scan (models/ring_reversible.py):
-# the training-side scan saves the [B,N,N] adjacency carry per step; the
-# fused step's rewrite is invertible from the evicted row/column, so the
-# backward can reconstruct it in the reverse pass instead (residuals shrink
-# O(B*N^2) -> O(B*(2N+F)) per step). train_remat_for returns 'reverse' when
-# this is on and the call qualifies (no dones/key/edge_weights). Default
-# pending TPU measurement (benchmarks/state_churn.py --reverse).
+# Reversible backward for the fused scans (models/ring_reversible.py /
+# dense_reversible.py): the training-side scan saves the [B,N,N] adjacency
+# carry per step; the fused steps' rewrites are invertible from the evicted
+# row/column (+ the wrap-dropped row/col 0 on the dense core), so the
+# backward can reconstruct the carry in the reverse pass instead (residuals
+# shrink O(B*N^2) -> O(B*(2N+F)) / O(B*(4N+2F)) per step).
+# train_remat_for returns 'reverse' when the flag is on and the call
+# qualifies (no dones/edge_weights; stochastic keys are replayed bitwise).
+# Defaults pending TPU measurement (benchmarks/state_churn.py --reverse).
 RING_REVERSE_BWD: bool = False
+DENSE_REVERSE_BWD: bool = False
 
 # lax.scan unroll for the FUSED ring step specifically: the single pointwise
 # rewrite aliases the carry in place, and unrolling breaks that (measured
@@ -160,7 +163,7 @@ _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
                  "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
                  "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
-                 "NAV_INCREMENTAL_MIN_V", "RING_REVERSE_BWD",
+                 "NAV_INCREMENTAL_MIN_V", "RING_REVERSE_BWD", "DENSE_REVERSE_BWD",
                  "RING_WINDOW_FWD_MIN_N",
                  "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES")
 

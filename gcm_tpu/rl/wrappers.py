@@ -123,8 +123,17 @@ def train_remat_for(core, T: int, dones=None, key=None):
     backward reconstructs the carry in the reverse scan and saves NO
     per-step [B,N,N] residual (models/ring_reversible.py)."""
     from gcm_tpu import config
+    from gcm_tpu.models.dense_gcm import DenseGCM
     from gcm_tpu.models.ring_gcm import RingDenseGCM
 
+    if isinstance(core, DenseGCM):
+        if config.DENSE_REVERSE_BWD:
+            from gcm_tpu.models.dense_reversible import (
+                dense_reversible_supported)
+
+            if dense_reversible_supported(core, key=key, dones=dones):
+                return "reverse"
+        return False
     if not isinstance(core, RingDenseGCM):
         return False
     if config.RING_REVERSE_BWD:

@@ -129,3 +129,17 @@ class TestDenseReversible:
                       edge_selectors=TemporalBackedge([1]), graph_size=6,
                       edge_weights=True)
         assert not dense_reversible_supported(mw)
+
+
+class TestTrainerDispatch:
+    def test_train_remat_for_dense_reverse(self, monkeypatch):
+        from gcm_tpu import config
+        from gcm_tpu.rl.wrappers import train_remat_for
+
+        model, _ = build(SELECTORS["temporal"])
+        assert train_remat_for(model, 64) is False  # dense default: a wash
+        monkeypatch.setattr(config, "DENSE_REVERSE_BWD", True)
+        assert train_remat_for(model, 64) == "reverse"
+        # dones keep the non-reversible default
+        assert train_remat_for(model, 64,
+                               dones=jnp.zeros((B, 64), bool)) is False
