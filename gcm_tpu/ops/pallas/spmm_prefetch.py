@@ -70,18 +70,20 @@ def bucket_edges_sink_blocks(edges, weights, num_nodes: int, n_blocks: int,
 
 def _kernel(S: int, K: int, unroll: int):
     def kernel(sl_ref, src_ref, w_ref, x_ref, out_ref):
+        # index arrays ride as [1, 1, 1, K] SMEM blocks (the trailing two
+        # block dims must equal the array dims — Mosaic's (8, 128) rule)
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
         def body(i, _):
             for u in range(unroll):
                 k = i * unroll + u
-                s = sl_ref[0, 0, k]
-                r = src_ref[0, 0, k]
+                s = sl_ref[0, 0, 0, k]
+                r = src_ref[0, 0, 0, k]
 
                 @pl.when(s >= 0)
                 def _():
                     row = x_ref[0, pl.ds(r, 1), :]
-                    out_ref[0, pl.ds(s, 1), :] += w_ref[0, 0, k] * row
+                    out_ref[0, pl.ds(s, 1), :] += w_ref[0, 0, 0, k] * row
             return 0
 
         jax.lax.fori_loop(0, K // unroll, body, 0)
@@ -107,15 +109,18 @@ def spmm_prefetch_bucketed(x, sl, src, w, num_nodes: int, unroll: int = 8):
         K += pad
 
     grid = (B, n_blocks)
+    sl4 = sl[:, :, None, :]
+    src4 = src[:, :, None, :]
+    w4 = w[:, :, None, :]
     return pl.pallas_call(
         _kernel(S, K, unroll),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, 1, 1, K), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, 1, 1, K), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, 1, 1, K), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N, F), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -124,7 +129,7 @@ def spmm_prefetch_bucketed(x, sl, src, w, num_nodes: int, unroll: int = 8):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, num_nodes, F), x.dtype),
         interpret=_use_interpret(),
-    )(sl, src, w, x)
+    )(sl4, src4, w4, x)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "n_blocks",
