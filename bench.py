@@ -537,16 +537,21 @@ def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=8, n_hi=408,
 SANE_TS_MAX = 5e8  # no per-chip scan path measures >500M timesteps/s
 
 
-def sane(fn, *a, **kw):
+def sane(fn, *a, floor=None, **kw):
     """Retry a slope-timed metric once if it degenerates: when tunnel jitter
     makes t_hi <= t_lo the slope clamps at 1e-9 and the rate explodes (seen
-    round 4: learned_edge "6.1e12 timesteps/s"). One retry re-rolls the
-    jitter; a still-insane value is reported (visible, not silently
-    truncated)."""
+    round 4: learned_edge "6.1e12 timesteps/s"). Additionally, any reading
+    above 115% of its analytic roofline floor is PHYSICALLY impossible and
+    therefore a measurement artifact (round-5 dry run: a 56.7M dense-scan
+    headline = 580% of the HBM floor slipped under the 5e8 absolute cap) —
+    retry those too. One retry re-rolls the jitter; a still-insane value is
+    reported (visible, not silently truncated)."""
+    cap = min(SANE_TS_MAX, 1.15 * floor) if floor else SANE_TS_MAX
     v = fn(*a, **kw)
-    if v > SANE_TS_MAX:
-        print(f"# degenerate slope ({v:.3g} ts/s) from {fn.__name__}"
-              f"{a} — retrying once", file=sys.stderr, flush=True)
+    if v > cap:
+        print(f"# degenerate slope ({v:.3g}/s > cap {cap:.3g}) from "
+              f"{fn.__name__}{a} — retrying once", file=sys.stderr,
+              flush=True)
         v = fn(*a, **kw)
     return v
 
@@ -571,7 +576,13 @@ def floor_table():
         "ring_timesteps_per_s": dense128,
         "banded_timesteps_per_s": banded128,
         "banded_window_chainedTw128_timesteps_per_s": banded128,
-        "banded_window_chainedTw128_train_timesteps_per_s": banded128 / 3.0,
+        # the window train's backward is scan-free (no per-step residual
+        # rematerialization), so the 3x-forward convention overshoots: the
+        # dry run measured 227% of the /3 floor while its forward sat at
+        # 75% of the fwd floor. Use the fwd floor as the (loose) train
+        # denominator — the backward re-reads the same tensors it already
+        # streamed.
+        "banded_window_chainedTw128_train_timesteps_per_s": banded128,
         "spmm_edges_per_s": roofline.spmm(64, 512, 8192, 128)["edges_per_s"],
         "dense_edge_n512_timesteps_per_s": dense512,
         "euclidean_timesteps_per_s": dense128,
@@ -590,26 +601,41 @@ def floor_table():
 
 
 def main():
+    floors = floor_table()
     fwd, fwd_bwd = bench_dense_gcm()
-    ring = sane(bench_ring_gcm)
-    banded = sane(bench_banded_gcm)
-    banded_win = sane(bench_banded_window)
-    banded_win_train = sane(bench_banded_window, train=True)
+    if fwd > 1.15 * floors["gcm_timesteps_per_s"] \
+            or fwd_bwd > 1.15 * floors["fwd_bwd_timesteps_per_s"]:
+        print(f"# headline above its roofline floor (fwd {fwd:.3g}, "
+              f"fwd_bwd {fwd_bwd:.3g}) — degenerate, retrying once",
+              file=sys.stderr, flush=True)
+        fwd, fwd_bwd = bench_dense_gcm()
+    ring = sane(bench_ring_gcm, floor=floors["ring_timesteps_per_s"])
+    banded = sane(bench_banded_gcm, floor=floors["banded_timesteps_per_s"])
+    banded_win = sane(
+        bench_banded_window,
+        floor=floors["banded_window_chainedTw128_timesteps_per_s"])
+    banded_win_train = sane(
+        bench_banded_window, train=True,
+        floor=floors["banded_window_chainedTw128_train_timesteps_per_s"])
     sparse_train = sane(bench_sparse_gcm)
     spmm = bench_spmm()
-    dense_edge = sane(bench_dense_edge)
+    dense_edge = sane(bench_dense_edge,
+                      floor=floors["dense_edge_n512_timesteps_per_s"])
     clique = sane(bench_clique)
     # clique window() variants dropped from the headline matrix round 4: the
     # path is gated OFF on TPU (CliqueGCM.window_profitable — loses 5-11x to
     # its own scan, MEASURE_r3/clique_window.log), so benching it here
     # measured a path the wrappers never take. benchmarks/clique_window.py
     # still measures all variants on demand.
-    euclid = sane(bench_distance, "euclidean")
-    cosine = sane(bench_distance, "cosine")
-    spatial = sane(bench_distance, "spatial")
-    learned = sane(bench_learned_edge)
-    ring_euclid = sane(bench_ring_scored, "euclidean")
-    ring_learned = sane(bench_ring_scored, "learned")
+    dense128_floor = floors["euclidean_timesteps_per_s"]
+    euclid = sane(bench_distance, "euclidean", floor=dense128_floor)
+    cosine = sane(bench_distance, "cosine", floor=dense128_floor)
+    spatial = sane(bench_distance, "spatial", floor=dense128_floor)
+    learned = sane(bench_learned_edge, floor=dense128_floor)
+    ring_euclid = sane(bench_ring_scored, "euclidean",
+                       floor=dense128_floor)
+    ring_learned = sane(bench_ring_scored, "learned",
+                        floor=dense128_floor)
     nav = sane(bench_nav_gcm)
     nav_inc = sane(bench_nav_gcm, incremental=True)
     # the incremental core's WIN regime (nav_core() routes V >= 256 here —
@@ -642,7 +668,6 @@ def main():
         "backend": jax.default_backend(),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
     }
-    floors = floor_table()
     floors["value"] = floors["gcm_timesteps_per_s"]  # the headline metric
     results["pct_of_floor"] = {
         k: (round(100.0 * results[k] / floors[k], 2) if k in floors
