@@ -534,6 +534,50 @@ def bench_nav_gcm(B=8, F=16, V=128, tau=8, n_lo=8, n_hi=408,
     return B * tau / slope
 
 
+def bench_ring_window_train(B=32, obs=8, hidden=32, N=1024, T_lo=96,
+                            T_hi=320):
+    """The round-5 shipped win regime: whole-trajectory TRAINING through the
+    ring core's scan-free window() at graph_size=1024 — the path
+    window_profitable('train') dispatches (2.9-4.4x the scan+remat train,
+    MEASURE_r5/ring_window_n1024_sweep + MEASURE_r4b). Slope over T of a
+    grad through the dispatched trajectory path."""
+    from gcm_tpu.edges.distance import EuclideanEdge
+    from gcm_tpu.models.ring_gcm import RingDenseGCM
+    from gcm_tpu.models.ring_window import ring_window
+    from gcm_tpu.nn.dense_conv import DenseGNN, DenseGraphConv
+    from gcm_tpu.nn.module import MLP, Linear
+
+    gnn = DenseGNN([DenseGraphConv(hidden, hidden), jnp.tanh,
+                    DenseGraphConv(hidden, hidden), jnp.tanh])
+    model = RingDenseGCM(gnn, preprocessor=MLP([Linear(obs, hidden)]),
+                         edge_selectors=EuclideanEdge(max_distance=1.0),
+                         graph_size=N)
+    assert model.window_profitable("train")
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss(p, xs):
+        outs, _ = ring_window(model, p, xs, model.initial_state(B, obs))
+        return jnp.sum(outs ** 2)
+
+    def train(p, xs):
+        g = jax.grad(loss)(p, xs)
+        return sum(jnp.sum(jnp.abs(l))
+                   for l in jax.tree_util.tree_leaves(g))
+
+    jf = jax.jit(train)
+
+    def measure(T):
+        inputs = [
+            (params, jax.random.normal(jax.random.PRNGKey(61 * T + i),
+                                       (B, T, obs)))
+            for i in range(REPEATS + 1)
+        ]
+        return timed_unique(jf, inputs)
+
+    slope = max(measure(T_hi) - measure(T_lo), 1e-9) / (T_hi - T_lo)
+    return B / slope
+
+
 SANE_TS_MAX = 5e8  # no per-chip scan path measures >500M timesteps/s
 
 
@@ -597,6 +641,14 @@ def floor_table():
             roofline.nav_incremental_window(8, 128, 8, 16)["timesteps_per_s"],
         "nav_incremental_v256_timesteps_per_s":
             roofline.nav_incremental_window(8, 256, 8, 16)["timesteps_per_s"],
+        # clique step streams the [B,N,F] node buffer like the banded core
+        # (implicit adjacency; its O(N·F·F') matmuls are HBM-dominated too)
+        "clique_n512_timesteps_per_s":
+            roofline.banded_scan_step(32, 512, 32)["timesteps_per_s"],
+        # the window path has its OWN roofline (no [B,N,N] exists there)
+        "ring_window_train_n1024_timesteps_per_s":
+            roofline.ring_window_train(32, 1024, 32,
+                                       chunk=640)["timesteps_per_s"],
     }
 
 
@@ -642,6 +694,9 @@ def main():
     # config.NAV_INCREMENTAL_MIN_V; 1.8x at V=256, 6.1x at V=512): one bench
     # point where the dispatch payoff is the thing being regression-tracked
     nav_inc_256 = sane(bench_nav_gcm, V=256, incremental=True)
+    ring_win_train = sane(
+        bench_ring_window_train,
+        floor=floors["ring_window_train_n1024_timesteps_per_s"])
     results = {
         "metric": "gcm_timesteps_per_s",
         "value": round(fwd),
@@ -665,6 +720,7 @@ def main():
         "nav_gcm_timesteps_per_s": round(nav),
         "nav_incremental_timesteps_per_s": round(nav_inc),
         "nav_incremental_v256_timesteps_per_s": round(nav_inc_256),
+        "ring_window_train_n1024_timesteps_per_s": round(ring_win_train),
         "backend": jax.default_backend(),
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
     }

@@ -71,6 +71,23 @@ def banded_scan_step(B, N, F, hops=1, dtype_bytes=4, **chip):
     return out
 
 
+def ring_window_train(B, N, F, chunk=None, n_bufs=6, dtype_bytes=4, **chip):
+    """Ring-core scan-free window() TRAINING (models/ring_window.py): the
+    kill-cumsum materializes ~4 [B, c, N+c, F] tensors per chunk in the
+    forward and the backward re-reads/re-writes ~2 more (cumsum transpose +
+    cotangents) — per-timestep HBM ≈ n_bufs · B·(N+c)·F bytes. A rough
+    model (n_bufs is an estimate, not a count), but unlike borrowing the
+    SCAN's [B,N,N] floor it has the right N-scaling: the window's whole
+    point is that no [B,N,N] adjacency exists on this path."""
+    c = min(N, chunk) if chunk else N
+    M = N + c
+    hbm = n_bufs * B * M * F * dtype_bytes
+    flops = 2.0 * n_bufs * B * M * F  # elementwise-dominated
+    out = _pack(hbm, flops, **chip)
+    out["timesteps_per_s"] = B / out["floor_s"]
+    return out
+
+
 def nav_window(B, V, tau, F, pose_dim=3, layers=(19, 16), dtype_bytes=4,
                **chip):
     """One NavGCM causal window of B·tau timesteps (BASELINE.md nav

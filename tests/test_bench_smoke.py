@@ -16,6 +16,9 @@ import bench
                                incremental=True)),
     (bench.bench_ring_gcm, dict(B=2, N=16, T_lo=4, T_hi=8)),
     (bench.bench_banded_gcm, dict(B=2, N=16, T_lo=4, T_hi=8)),
+    # N=512 is the smallest graph the train gate admits (the function
+    # asserts window_profitable('train'))
+    (bench.bench_ring_window_train, dict(B=2, N=512, T_lo=4, T_hi=8)),
 ])
 def test_bench_fn_runs(fn, kwargs):
     rate = fn(**kwargs)
