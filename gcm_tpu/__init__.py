@@ -34,6 +34,8 @@ from gcm_tpu.models.nav_gcm import (NavDenseGNN, NavGCM,
                                     NavGCMIncremental, NavState, nav_core)
 from gcm_tpu.models.ring_gcm import RingDenseGCM, RingGraphState
 from gcm_tpu.models.sparse_gcm import SparseGCM
+from gcm_tpu.parallel.sharded_sparse import (ShardedSparseGCM,
+                                             ShardedSparseState)
 from gcm_tpu.utils.packing import pack_hidden, unpack_hidden
 from gcm_tpu.models.positional import PositionalEncoding, RelativePositionalEncoding
 from gcm_tpu.nn.dense_conv import DenseGCNConv, DenseGNN, DenseGraphConv
@@ -51,6 +53,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BandedRingGCM",
+    "ShardedSparseGCM",
+    "ShardedSparseState",
     "BandedScoredGCM",
     "BandedScoredState",
     "BandedState",
