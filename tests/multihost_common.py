@@ -49,3 +49,70 @@ def updated_param_checksum(model, params, xs, ys, mesh=None):
     gnorm = float(jnp.sqrt(sum(jnp.sum(g ** 2)
                                for g in jax.tree.leaves(grads))))
     return checksum, gnorm
+
+
+def sharded_sparse_checksum(mesh=None):
+    """Forward one SparseGCM window; with a mesh, the END-TO-END sharded
+    core (parallel/sharded_sparse.py) runs with its node axis spanning the
+    mesh — in the 2-process test the halo ppermute / softmax psum / output
+    psum cross the process boundary (the DCN analog for a graph memory
+    larger than one host). Returns (output checksum, total edge count) —
+    must match the replicated single-process core exactly (to float
+    reassociation)."""
+    import numpy as np
+
+    from gcm_tpu.edges.sparse_learned import LearnedEdge
+    from gcm_tpu.models.sparse_gcm import SparseGCM
+    from gcm_tpu.nn.module import MLP, Linear
+    from gcm_tpu.nn.sparse_conv import GraphConv, SparseGNN
+
+    NS, ES, TW = 32, 128, 5
+    stack = [GraphConv(HID, HID), jnp.tanh, GraphConv(HID, HID), jnp.tanh]
+
+    def sel():
+        return LearnedEdge(input_size=OBS, deterministic=True,
+                           num_edge_samples=3, window=6)
+
+    ref = SparseGCM(SparseGNN(stack), preprocessor=MLP([Linear(OBS, HID)]),
+                    edge_selectors=sel(), graph_size=NS, max_edges=ES)
+    params = ref.init(jax.random.PRNGKey(3))
+    xs_np = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (B_GLOBAL, TW, OBS)))
+    taus_np = np.full((B_GLOBAL,), TW, np.int32)
+
+    if mesh is None:
+        mx, st = ref(params, jnp.asarray(xs_np), jnp.asarray(taus_np),
+                     ref.initial_state(B_GLOBAL, OBS))
+        n_edges = int(jnp.sum(st.num_edges))
+        return float(jnp.sum(jnp.abs(mx))), n_edges
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcm_tpu.parallel.sharded_sparse import ShardedSparseGCM
+
+    model = ShardedSparseGCM(stack, mesh, axis="dp",
+                             preprocessor=MLP([Linear(OBS, HID)]),
+                             edge_selectors=sel(), graph_size=NS,
+                             max_edges=ES)
+
+    def globalize(np_arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            np_arr.shape, sh, lambda idx: np_arr[idx])
+
+    st0 = jax.tree.map(np.asarray, model.initial_state(B_GLOBAL, OBS))
+    shardings = model.state_shardings()
+    state = type(shardings)(*[
+        globalize(a, s.spec) for a, s in zip(st0, shardings)])
+    xs_g = globalize(xs_np, P())
+    taus_g = globalize(taus_np, P())
+    params_g = jax.tree.map(lambda a: globalize(np.asarray(a), P()), params)
+
+    # reduce to replicated scalars INSIDE jit: sharded leaves of the new
+    # state are not fully addressable per process
+    def run(p, x, t, s):
+        mx, st = model(p, x, t, s)
+        return jnp.sum(jnp.abs(mx)), jnp.sum(st.num_edges)
+
+    ssum, n_edges = jax.jit(run)(params_g, xs_g, taus_g, state)
+    return float(ssum), int(n_edges)

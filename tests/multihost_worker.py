@@ -32,7 +32,8 @@ import numpy as np  # noqa: E402
 
 from gcm_tpu.parallel.distributed import global_mesh, initialize_multihost
 from tests.multihost_common import (
-    B_GLOBAL, build_model_and_data, updated_param_checksum)
+    B_GLOBAL, build_model_and_data, sharded_sparse_checksum,
+    updated_param_checksum)
 
 
 def main():
@@ -62,8 +63,12 @@ def main():
 
     checksum, grad_norm = updated_param_checksum(
         model, params, xs_g, ys_g, mesh)
+    # end-to-end sharded SparseGCM with the NODE axis spanning processes
+    ss_sum, ss_edges = sharded_sparse_checksum(mesh)
     print(json.dumps({"pid": pid, "checksum": float(checksum),
-                      "grad_norm": float(grad_norm)}), flush=True)
+                      "grad_norm": float(grad_norm),
+                      "sharded_sparse_sum": ss_sum,
+                      "sharded_sparse_edges": ss_edges}), flush=True)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,8 @@ def test_two_process_dp_update_matches_single_process():
     # single-process reference on the full batch (2 virtual devices here too,
     # via conftest's 8-device XLA flag — mesh irrelevant without sharding)
     from tests.multihost_common import (
-        build_model_and_data, updated_param_checksum)
+        build_model_and_data, sharded_sparse_checksum,
+        updated_param_checksum)
 
     model, params, xs, ys = build_model_and_data()
     want_checksum, want_gnorm = updated_param_checksum(model, params, xs, ys)
@@ -67,3 +68,11 @@ def test_two_process_dp_update_matches_single_process():
         np.testing.assert_allclose(rec["grad_norm"], want_gnorm, rtol=1e-6)
     # both processes computed identical replicated updates
     assert outs[0]["checksum"] == outs[1]["checksum"]
+
+    # the end-to-end sharded SparseGCM (node axis spanning processes)
+    # matches the replicated single-process core
+    want_ss, want_edges = sharded_sparse_checksum()
+    for rec in outs:
+        np.testing.assert_allclose(rec["sharded_sparse_sum"], want_ss,
+                                   rtol=1e-5)
+        assert rec["sharded_sparse_edges"] == want_edges
