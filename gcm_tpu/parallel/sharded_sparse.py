@@ -68,6 +68,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gcm_tpu.edges.sparse_learned import LearnedEdge as SparseLearnedEdge
+from gcm_tpu.edges.sparse_spatial import SparseEdgeChain
 from gcm_tpu.edges.sparse_temporal import TemporalEdge
 from gcm_tpu.ops.scatter import append_edges, nonzero_padded, rows_set
 from gcm_tpu.utils.ste import grad_preserving_ones
@@ -102,15 +103,22 @@ class ShardedSparseGCM:
             if hasattr(layer, "init"):
                 assert isinstance(layer, GraphConv) and layer.aggr == "add", (
                     "ShardedSparseGCM supports GraphConv('add') layers")
-        if isinstance(edge_selectors, SparseLearnedEdge):
-            assert edge_selectors.deterministic, (
-                "sharded learned selector: deterministic only (per-lane "
-                "gumbel noise is not reproducible shard-locally)")
-        else:
-            assert edge_selectors is None or isinstance(
-                edge_selectors, TemporalEdge), (
-                "ShardedSparseGCM supports TemporalEdge / deterministic "
-                "LearnedEdge — got " + type(edge_selectors).__name__)
+        def sel_ok(s):
+            if s is None or isinstance(s, TemporalEdge):
+                return True
+            if isinstance(s, SparseLearnedEdge):
+                assert s.deterministic, (
+                    "sharded learned selector: deterministic only (per-lane "
+                    "gumbel noise is not reproducible shard-locally)")
+                return True
+            if isinstance(s, SparseEdgeChain):
+                return all(sel_ok(m) for m in s.selectors)
+            return False
+
+        assert sel_ok(edge_selectors), (
+            "ShardedSparseGCM supports TemporalEdge / deterministic "
+            "LearnedEdge / SparseEdgeChain of those — got "
+            + type(edge_selectors).__name__)
         d = mesh.shape[axis]
         assert graph_size % d == 0, (graph_size, d)
         assert max_edges % d == 0, (max_edges, d)
@@ -172,14 +180,19 @@ class ShardedSparseGCM:
     def _halo(self, t: int) -> int | None:
         """Max (sink − source) any edge in a same-selector history can have;
         None when unbounded (falls back to psum comm)."""
-        sel = self.edge_selectors
-        if sel is None:
-            return 0
-        if isinstance(sel, TemporalEdge):
-            return max(sel.hops) if sel.hops else 0
-        if sel.window is not None:  # windowed learned
-            return sel.window + t
-        return None
+        def bound(sel):
+            if sel is None:
+                return 0
+            if isinstance(sel, TemporalEdge):
+                return max(sel.hops) if sel.hops else 0
+            if isinstance(sel, SparseEdgeChain):
+                bs = [bound(m) for m in sel.selectors]
+                return None if any(b is None for b in bs) else max(bs, default=0)
+            if sel.window is not None:  # windowed learned
+                return sel.window + t
+            return None
+
+        return bound(self.edge_selectors)
 
     # -- forward -----------------------------------------------------------
     def __call__(self, params, x, taus, state: ShardedSparseState,
@@ -225,33 +238,37 @@ class ShardedSparseGCM:
             nodes_b = rows_set(nodes_b, jnp.clip(loc, 0, nb - 1), x_in, mine)
             dirty_b = nodes_b
 
-            # 2-3. selector → local compaction → local append
-            if isinstance(sel, TemporalEdge):
-                new_e, vals, ok, _ = sel.emit_edges(
-                    params.get("edge_selectors"), nodes_b, T, taus_in, t)
-                src = new_e[:, 1, :]
-                ok = ok & (src >= base) & (src < base + nb)  # source-owned
-                new_e = jnp.where(ok[:, None, :], new_e, -1)
-                vals = jnp.where(ok, grad_preserving_ones(
-                    jnp.where(ok, vals, 1.0)), 1.0)
-                edges_b, w_b, ne, _ = append_edges(
-                    edges_b, w_b, ne, new_e, vals, ok)
-            elif isinstance(sel, SparseLearnedEdge):
-                sp = params["edge_selectors"]
-                cols = base + jnp.arange(nb)[None, None, :]   # [1, 1, nb]
-                sink = rows                                    # [B, t]
+            # 2. selector → LOCAL [B, t, nb] grid slice. Chain members SUM
+            # into the grid (the replicated SparseEdgeChain's COO
+            # concat+coalesce analog, sparse_gcm.py:130-139); the weight
+            # normalization below maps any positive sum to a weight-1 edge
+            # exactly like the replicated append_grid.
+            sink = rows                                        # [B, t]
+            cols = base + jnp.arange(nb)[None, None, :]        # [1, 1, nb]
+
+            def temporal_grid(tsel):
+                g = jnp.zeros((B, t, nb), nodes_b.dtype)
+                for hop in tsel.hops:
+                    src = sink - hop                           # [B, t]
+                    ok_h = new_mask & (src >= 0) & (sink > 0)
+                    onehot = (cols == src[..., None]) & ok_h[..., None]
+                    g = jnp.maximum(g, onehot.astype(g.dtype))
+                return g
+
+            def learned_grid(lsel, sp, prefix=""):
                 cand = (new_mask[..., None]
-                        & (cols < jnp.clip(sink, 0, self.graph_size)[..., None]))
-                if sel.window is not None:
+                        & (cols < jnp.clip(sink, 0,
+                                           self.graph_size)[..., None]))
+                if lsel.window is not None:
                     cand = cand & (cols >= jnp.maximum(
-                        T[:, None, None] - sel.window, 0))
+                        T[:, None, None] - lsel.window, 0))
                 # sink features are the raw inputs themselves (rows just
                 # inserted hold x; the sink row may live on another shard)
-                logits = sel._score_pairs(sp["edge_network"],
-                                          x_in.astype(nodes_b.dtype),
-                                          dirty_b)              # [B, t, nb]
+                logits = lsel._score_pairs(sp["edge_network"],
+                                           x_in.astype(nodes_b.dtype),
+                                           dirty_b)            # [B, t, nb]
                 assert logits.shape == (B, t, nb)
-                tau_temp = sel._temperature(sp)
+                tau_temp = lsel._temperature(sp)
                 neg = jnp.finfo(logits.dtype).min
                 z = jnp.where(cand, logits / tau_temp, neg)
                 # the max subtraction is stop-gradient in the replicated
@@ -261,17 +278,43 @@ class ShardedSparseGCM:
                     jax.lax.stop_gradient(jnp.max(z, axis=2)), ax)  # [B, t]
                 z = z - gmax[..., None]
                 e = jnp.where(cand, jnp.exp(z), 0.0)
-                denom = jax.lax.psum(jnp.sum(e, axis=2), ax)    # [B, t]
-                soft = e / jnp.maximum(denom, jnp.finfo(e.dtype).tiny)[..., None]
-                cutoff = 1.0 / (1 + sel.num_edge_samples)
+                denom = jax.lax.psum(jnp.sum(e, axis=2), ax)   # [B, t]
+                soft = e / jnp.maximum(denom,
+                                       jnp.finfo(e.dtype).tiny)[..., None]
+                cutoff = 1.0 / (1 + lsel.num_edge_samples)
                 keep = (soft > cutoff) & cand
-                # local compaction over the shard's grid slice (1/d work)
+                # reference stats dict, assembled across shards
+                n_edges = jax.lax.psum(jnp.sum(keep), ax)
+                n_cand = jnp.maximum(jax.lax.psum(jnp.sum(cand), ax), 1)
+                aux.update({f"{prefix}edges_per_node":
+                            n_edges / jnp.maximum(jnp.sum(taus_in), 1),
+                            f"{prefix}edge_density": n_edges / n_cand,
+                            f"{prefix}temperature": tau_temp})
+                return jnp.where(keep, soft, 0.0)
+
+            def grid_of(s_, sp, prefix=""):
+                if isinstance(s_, TemporalEdge):
+                    return temporal_grid(s_)
+                return learned_grid(s_, sp, prefix)
+
+            grid = None
+            if isinstance(sel, SparseEdgeChain):
+                for idx_s, (s_, sp) in enumerate(
+                        zip(sel.selectors, params["edge_selectors"])):
+                    g = grid_of(s_, sp, prefix=f"{idx_s}/")
+                    grid = g if grid is None else grid + g
+            elif sel is not None:
+                grid = grid_of(sel, params.get("edge_selectors"))
+
+            # 3. local compaction + append at the shard cursor (1/d work)
+            if grid is not None:
+                mask = grid > 0
                 k = min(t * nb, epl)
-                idx, ok, _ = nonzero_padded(keep.reshape(B, t * nb), k)
+                idx, ok, _ = nonzero_padded(mask.reshape(B, t * nb), k)
                 ti = jnp.clip(idx // nb, 0, t - 1)
                 sj = base + idx % nb
                 sinks = jnp.take_along_axis(rows, ti, axis=1)
-                vals = jnp.take_along_axis(soft.reshape(B, t * nb), idx,
+                vals = jnp.take_along_axis(grid.reshape(B, t * nb), idx,
                                            axis=1)
                 vals = jnp.where(ok, grad_preserving_ones(
                     jnp.where(ok, vals, 1.0)), 1.0)
@@ -279,13 +322,6 @@ class ShardedSparseGCM:
                                    jnp.where(ok, sj, -1)], axis=1)
                 edges_b, w_b, ne, _ = append_edges(
                     edges_b, w_b, ne, new_e, vals, ok)
-                # reference stats dict, assembled across shards
-                n_edges = jax.lax.psum(jnp.sum(keep), ax)
-                n_cand = jnp.maximum(jax.lax.psum(jnp.sum(cand), ax), 1)
-                aux = {"edges_per_node":
-                       n_edges / jnp.maximum(jnp.sum(taus_in), 1),
-                       "edge_density": n_edges / n_cand,
-                       "temperature": tau_temp}
 
             # 4. preprocessor on the local block (1/d)
             if self.preprocessor is not None:

@@ -273,3 +273,62 @@ class TestAdapterConfigPath:
                                  gnn_input_size=HID, gnn_output_size=HID,
                                  edge_selectors=TemporalEdge([1]),
                                  max_hops=2)
+
+
+class TestChainParity:
+    """SparseEdgeChain (temporal + windowed learned) through the sharded
+    core — the grid-sum semantics of the replicated chain, shard-locally."""
+
+    def _chain(self):
+        from gcm_tpu.edges.sparse_spatial import SparseEdgeChain
+
+        return lambda: SparseEdgeChain([
+            TemporalEdge([1, 2]),
+            SparseLearnedEdge(input_size=OBS, deterministic=True,
+                              num_edge_samples=3, window=6)])
+
+    def test_chain_beliefs_edges_and_halo(self):
+        single, sharded, params, _ = build_pair(self._chain())
+        assert sharded._halo(4) == 10  # max(hop bound, window + t)
+        xs = jax.random.normal(jax.random.PRNGKey(10), (B, 4, OBS))
+        xs2 = jax.random.normal(jax.random.PRNGKey(11), (B, 4, OBS))
+        taus = jnp.full((B,), 4, jnp.int32)
+        outs_s, outs_h, ss, sh = run_both(single, sharded, params,
+                                          [xs, xs2], [taus, taus])
+        for a, b in zip(outs_s, outs_h):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=0)
+        for b_i in range(B):
+            assert edge_set(ss.edges, ss.weights, b_i) == \
+                edge_set(sh.edges, sh.weights, b_i)
+
+    def test_chain_grad(self):
+        single, sharded, params, _ = build_pair(self._chain())
+        xs = jax.random.normal(jax.random.PRNGKey(12), (B, 4, OBS))
+        taus = jnp.full((B,), 4, jnp.int32)
+
+        def loss(model):
+            def f(p):
+                out, _ = model(p, xs, taus, model.initial_state(B, OBS))
+                return jnp.sum(out ** 2)
+            return f
+
+        g_s = jax.grad(loss(single))(params)
+        g_h = jax.grad(loss(sharded))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                        jax.tree_util.tree_leaves(g_h)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_rejects_unsupported_member(self):
+        from gcm_tpu.edges.sparse_spatial import (SparseEdgeChain,
+                                                  SpatialRadiusEdge)
+
+        mesh = make_mesh(dp=8, tp=1)
+        with pytest.raises(AssertionError):
+            ShardedSparseGCM(
+                [GraphConv(HID, HID)], mesh,
+                edge_selectors=SparseEdgeChain([
+                    TemporalEdge([1]),
+                    SpatialRadiusEdge(slice(0, 2), radius=1.0)]),
+                graph_size=64, max_edges=256)
