@@ -97,7 +97,12 @@ TRAIN_REMAT_CHUNK: int = 32
 # shrink O(B*N^2) -> O(B*(2N+F)) / O(B*(4N+2F)) per step).
 # train_remat_for returns 'reverse' when the flag is on and the call
 # qualifies (no dones/edge_weights; stochastic keys are replayed bitwise).
-# Defaults pending TPU measurement (benchmarks/state_churn.py --reverse).
+# PRICED NEGATIVE round 5 (BASELINE.md reversible table, same-pass at
+# N=128/512): the reverse pass is ~4 HBM passes of [B,N,N]/step vs
+# autodiff's ~2 — it loses 1.3-1.9x at N=128, and the ring's +4-12% at
+# N=512 sits where the dispatched training path is the faster window()
+# anyway. Defaults stay off permanently; flip only as a MEMORY escape
+# hatch (zero [B,N,N] residuals) on HBM-constrained trainings.
 RING_REVERSE_BWD: bool = False
 DENSE_REVERSE_BWD: bool = False
 

@@ -29,7 +29,7 @@ chunk grid dimension (out block revisited; sorted order makes every chunk's
 contribution a contiguous segment).
 
 Measured status (record in BASELINE.md per the dispatch-by-measurement
-rule): pending TPU measurement vs v1/v2/v3 at the bench point
+rule): measured at the bench point (negative — see BASELINE.md)
 (B=64, N=512, E=8192, F=128) and the temporal regime.
 """
 
