@@ -400,3 +400,22 @@ class ShardedSparseGCM:
 
         if np.any(np.asarray(state.t + taus) > self.graph_size):
             raise Exception("Overflow")
+
+
+from gcm_tpu.core.graph_state import register_reset  # noqa: E402
+
+
+@register_reset(ShardedSparseState)
+def _reset_sharded_sparse(state, mask_for):
+    """Episode reset (rollout collectors call reset_where after dones):
+    same fills as the replicated SparseGraphState — edge sentinel -1,
+    weight fill 1.0, zeroed counters. All leaves are batch-leading, so the
+    masked select preserves each leaf's sharding (pointwise)."""
+    return ShardedSparseState(
+        nodes=jnp.where(mask_for(state.nodes), 0.0, state.nodes),
+        edges=jnp.where(mask_for(state.edges), -1, state.edges),
+        weights=jnp.where(mask_for(state.weights),
+                          jnp.ones_like(state.weights), state.weights),
+        t=jnp.where(mask_for(state.t), 0, state.t),
+        num_edges=jnp.where(mask_for(state.num_edges), 0, state.num_edges),
+    )

@@ -36,7 +36,7 @@ class A2C:
                  log_grad_norms: bool = False,
                  dp_mesh=None, dp_axis: str = "dp",
                  opt=None, max_grad_norm: float | None = None,
-                 dist=None):
+                 dist=None, replay_dones: bool = True):
         from gcm_tpu.rl.distributions import Categorical
 
         self.env = env
@@ -73,6 +73,15 @@ class A2C:
         # per-parameter grad-norm observability (reference registers backward
         # hooks per param, sparse_edge_selectors/learned.py:67-68,85-87)
         self.log_grad_norms = log_grad_norms
+        # replay_dones=False: the training replay omits dones. ONLY valid
+        # when episodes cannot end mid-rollout (fixed-horizon envs with
+        # rollout_len == env.horizon: the final-step reset affects no output,
+        # so the replay is mathematically identical — pinned in
+        # tests/test_rl.py::TestReplayDones). It unlocks the dones-free fast
+        # paths: the ring core's window() training at graph_size >= 512 and
+        # the end-to-end sharded sparse core (mesh=). Leave True for envs
+        # with early termination (e.g. CartPole).
+        self.replay_dones = replay_dones
 
     def init(self, key):
         params = self.policy.init(key)
@@ -128,14 +137,15 @@ class A2C:
         # saves the [B,N,N] carry residual only at chunk boundaries
         # (+50-85% fwd+bwd on the ring core)
         T = traj["obs"].shape[1]
+        replay_d = traj["dones"] if self.replay_dones else None
         logits, values, _ = self.policy(params, traj["obs"], mem,
                                         prev_actions=traj["prev_actions"],
-                                        dones=traj["dones"],
+                                        dones=replay_d,
                                         unroll=config.SCAN_UNROLL,
                                         remat=train_remat_for(
                                             getattr(self.policy, "core",
                                                     None), T,
-                                            dones=traj["dones"]),
+                                            dones=replay_d),
                                         train=True)
         returns = discounted_returns(traj["rewards"], traj["dones"], self.gamma)
         adv = jax.lax.stop_gradient(returns - values)

@@ -47,7 +47,7 @@ class PPO(A2C):
                  log_grad_norms: bool = False,
                  dp_mesh=None, dp_axis: str = "dp",
                  opt=None, max_grad_norm: float | None = None,
-                 dist=None):
+                 dist=None, replay_dones: bool = True):
         # dp_mesh: data-parallel training over a mesh, same contract as A2C
         # (the reference's adapter is trainer-agnostic, ray_gcm.py:173-212 —
         # every trainer gets the same batch-sharded execution). The permuted
@@ -59,7 +59,8 @@ class PPO(A2C):
                          rollout_len=rollout_len,
                          log_grad_norms=log_grad_norms,
                          dp_mesh=dp_mesh, dp_axis=dp_axis,
-                         opt=opt, max_grad_norm=max_grad_norm, dist=dist)
+                         opt=opt, max_grad_norm=max_grad_norm, dist=dist,
+                         replay_dones=replay_dones)
         self.lam = lam
         self.clip_eps = clip_eps
         self.epochs = epochs
@@ -75,14 +76,15 @@ class PPO(A2C):
 
         # training-side scan knobs (see rl/a2c.py loss; MEASURE_r4)
         T = traj_mb["obs"].shape[1]
+        replay_d = traj_mb["dones"] if self.replay_dones else None
         logits, values, _ = self.policy(params, traj_mb["obs"], mem,
                                         prev_actions=traj_mb["prev_actions"],
-                                        dones=traj_mb["dones"],
+                                        dones=replay_d,
                                         unroll=config.SCAN_UNROLL,
                                         remat=train_remat_for(
                                             getattr(self.policy, "core",
                                                     None), T,
-                                            dones=traj_mb["dones"]),
+                                            dones=replay_d),
                                         train=True)
         logp = self.dist.log_prob(logits, traj_mb["actions"])
         entropy = self.dist.entropy(logits)

@@ -720,3 +720,44 @@ class TestRingWindowDispatch:
         for a, b in zip(jax.tree.leaves(g_w), jax.tree.leaves(g_s)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestReplayDones:
+    """replay_dones=False (trainers): on a fixed-horizon env (episodes end
+    only at the rollout boundary) the dones-free replay is mathematically
+    identical — the final-step reset affects no output — and unlocks the
+    dones-free fast paths (ring window at N>=512, the sharded sparse
+    core)."""
+
+    def test_loss_identical_on_fixed_horizon_env(self):
+        env = RecallEnv()  # terminates only at t == horizon-1
+        pol = make_policy(env)
+        tr_d = A2C(env, pol)
+        tr_n = A2C(env, pol, replay_dones=False)
+        params, _ = tr_d.init(jax.random.PRNGKey(0))
+        traj = tr_d.collect(params, jax.random.PRNGKey(1), 4)
+        # sanity: no mid-rollout terminations on this env
+        assert not bool(jnp.any(traj["dones"][:, :-1]))
+        l_d, _ = tr_d.loss(params, traj)
+        l_n, _ = tr_n.loss(params, traj)
+        np.testing.assert_allclose(float(l_d), float(l_n), atol=1e-6)
+
+    def test_a2c_update_on_sharded_core(self):
+        """A2C end-to-end with the mesh= sharded memory core (needs
+        replay_dones=False: the sharded core takes no dones)."""
+        from gcm_tpu.edges.sparse_temporal import TemporalEdge
+        from gcm_tpu.parallel.mesh import make_mesh
+        from gcm_tpu.parallel.sharded_sparse import ShardedSparseGCM
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        env = RecallEnv()
+        mesh = make_mesh(dp=8, tp=1)
+        pol = make_policy(env, sparse=True, use_prev_action=False,
+                          graph_size=64, max_edges=256, mesh=mesh,
+                          edge_selectors=TemporalEdge([1]))
+        assert isinstance(pol.core, ShardedSparseGCM)
+        tr = A2C(env, pol, replay_dones=False)
+        p, o = tr.init(jax.random.PRNGKey(0))
+        p, o, m = tr.update(p, o, jax.random.PRNGKey(1), 4)
+        assert np.isfinite(float(m["loss"]))
