@@ -45,10 +45,24 @@ def build(env, core):
                           **cfg)
 
 
-def bench(core):
-    env = RecallEnv(num_symbols=4, horizon=16, noise_dim=4)
-    policy = build(env, core)
-    trainer = A2C(env, policy)
+def bench(core, graph_size=None, horizon=16, replay_dones=True,
+          selector="temporal", B_=None):
+    env = RecallEnv(num_symbols=4, horizon=horizon, noise_dim=4)
+    global B
+    Bl = B_ or B
+    if graph_size is None:
+        policy = build(env, core)
+    else:
+        from gcm_tpu.edges.distance import EuclideanEdge
+
+        sel = (EuclideanEdge(max_distance=1.0) if selector == "euclidean"
+               else TemporalBackedge([1]))
+        policy = GCMActorCritic(env.obs_dim, env.num_actions,
+                                env.num_actions, edge_selectors=sel,
+                                core=core, graph_size=graph_size,
+                                gnn_input_size=32, gnn_output_size=32,
+                                use_prev_action=True)
+    trainer = A2C(env, policy, replay_dones=replay_dones)
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
 
     def one_update(params, opt_state, key):
@@ -63,11 +77,38 @@ def bench(core):
         float(one_update(params, opt_state, k))
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
-    env_steps = B * env.horizon
+    env_steps = Bl * env.horizon
     return dt, env_steps / dt
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window-n512", action="store_true",
+                    help="round-5 trainer-level window unlock: A2C updates "
+                         "at graph_size=512 (euclidean ring core, fixed-"
+                         "horizon env), replay_dones True (scan replay) vs "
+                         "False (the training replay dispatches the scan-"
+                         "free window at N>=512), same pass")
+    args = ap.parse_args()
+
+    if args.window_n512:
+        for rd in (True, False):
+            dt, steps_s = bench("ring", graph_size=512, horizon=64,
+                                replay_dones=rd, selector="euclidean",
+                                B_=B)
+            print(json.dumps({
+                "core": "ring_n512_euclidean",
+                "replay_dones": rd,
+                "replay_path": "scan" if rd else "window (dispatched)",
+                "update_s": round(dt, 5),
+                "env_steps_per_s": round(steps_s),
+                "backend": jax.default_backend(),
+                "config": "B=64 horizon=64 recall env, graph_size=512",
+            }), flush=True)
+        sys.exit(0)
+
     for core in ("dense", "ring", "sparse"):
         dt, steps_s = bench(core)
         print(json.dumps({
