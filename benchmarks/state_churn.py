@@ -285,6 +285,11 @@ def main():
     ap.add_argument("--n", type=int, default=None,
                     help="override graph_size (ring_window's regime is "
                          "N >> 128 — ROADMAP round-5 lever 3)")
+    ap.add_argument("--window-cumsum", action="store_true",
+                    help="sweep RING_WINDOW_CUMSUM_BLOCK (the kill-cumsum "
+                         "lowering: plain log-doubling vs two-level blocked "
+                         "scan) on the euclidean window at the current --n, "
+                         "fwd + train, same pass")
     ap.add_argument("--window-chunks", type=int, nargs="*", default=(),
                     help="extra explicit ring_window chunk lengths to sweep "
                          "(fwd and train), on top of the auto pick")
@@ -444,6 +449,27 @@ def main():
         record("scoredw_banded_scored_window_train", rate, slope)
         print(json.dumps({"backend": jax.default_backend(),
                           "workload": f"B={B} obs={OBS} hid={HID} N={N} w=32",
+                          "results": results}), flush=True)
+        return
+
+    if args.window_cumsum:
+        for blk in (None, 8, 16, 32, 64):
+            config.RING_WINDOW_CUMSUM_BLOCK = blk
+            tag = "plain" if blk is None else f"blk{blk}"
+            rate, slope = slope_rate(scored_fn("euclidean", True),
+                                     *args.t_dense,
+                                     seed=801 + (blk or 0))
+            record(f"window_cumsum_{tag}_fwd", rate, slope)
+        for blk in (None, 16, 32):
+            config.RING_WINDOW_CUMSUM_BLOCK = blk
+            tag = "plain" if blk is None else f"blk{blk}"
+            rate, slope = slope_rate(
+                scored_fn("euclidean", True, train=True), *args.t_dense,
+                seed=821 + (blk or 0))
+            record(f"window_cumsum_{tag}_train", rate, slope)
+        config.RING_WINDOW_CUMSUM_BLOCK = None
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
                           "results": results}), flush=True)
         return
 

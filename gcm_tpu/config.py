@@ -162,6 +162,13 @@ RING_WINDOW_TRAIN_MIN_N: int = 512
 # a ceiling, not a tiny budget.)
 RING_WINDOW_CHUNK_BYTES: int = int(4.5 * (1 << 30))
 
+# Kill-cumsum lowering for ring_window: None = plain jnp.cumsum (XLA
+# log-doubling: ~log2(T) full passes of the largest window buffer); an int
+# K = two-level blocked scan (~log2(K)+2 full passes; same values to float
+# reassociation — models/ring_window.py::_time_cumsum). Measured on-chip
+# in MEASURE_r5/window_cumsum.log; default follows that measurement.
+RING_WINDOW_CUMSUM_BLOCK: int | None = None
+
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
@@ -170,7 +177,8 @@ _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
                  "NAV_INCREMENTAL_MIN_V", "RING_REVERSE_BWD", "DENSE_REVERSE_BWD",
                  "RING_WINDOW_FWD_MIN_N",
-                 "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES")
+                 "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES",
+                 "RING_WINDOW_CUMSUM_BLOCK")
 
 
 def apply_tuning(overrides: dict) -> None:

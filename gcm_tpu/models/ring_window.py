@@ -137,6 +137,35 @@ def _selector_rows(model, sel, params, row, xs, cand, valid_ext, p, t0,
     raise NotImplementedError(f"ring window: unsupported selector {sel}")
 
 
+def _time_cumsum(P, block):
+    """Inclusive cumsum of P [B, T, M, F] along axis 1.
+
+    block=None: plain jnp.cumsum — XLA lowers it as log-doubling shifted
+    adds, i.e. ~log2(T) full-tensor HBM passes (at T=640 that is ~10
+    passes over the window's largest buffer, and the measured window
+    throughput sits almost exactly at the roofline divided by that pass
+    count — BASELINE.md round-5 cumsum note).
+
+    block=K: two-level scan — intra-block cumsum (log2(K) passes over the
+    full tensor) + an exclusive cumsum of the T/K block totals (log-passes
+    over 1/K of the data, negligible) + one broadcast add: ~log2(K)+2 full
+    passes instead of log2(T). Same values to float reassociation."""
+    if block is None:
+        return jnp.cumsum(P, axis=1)
+    B, T, M, F = P.shape
+    if T % block:
+        pad = block - T % block
+        P = jnp.pad(P, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        out = _time_cumsum(P, block)
+        return out[:, :T]
+    nb = T // block
+    Pb = P.reshape(B, nb, block, M, F)
+    intra = jnp.cumsum(Pb, axis=2)
+    totals = intra[:, :, -1]                       # [B, nb, M, F]
+    offs = jnp.cumsum(totals, axis=1) - totals     # exclusive block offsets
+    return (intra + offs[:, :, None]).reshape(B, T, M, F)
+
+
 def _window_chunk(model, params, xs, state):
     """One T <= N chunk. Returns (outs [B,T,F_out], new RingGraphState)."""
     from gcm_tpu.models.ring_gcm import RingGraphState
@@ -189,13 +218,17 @@ def _window_chunk(model, params, xs, state):
         G = jnp.take_along_axis(R_all, p[:, None, :], axis=2)  # [B, M, T]
         v_kill = jnp.take_along_axis(
             dirty[:, :N], p[..., None], axis=1)               # [B, T, Fh]
+        from gcm_tpu import config
+
         P = G.transpose(0, 2, 1)[..., None] * v_kill[:, :, None, :]
-        Kcum = jnp.cumsum(P, axis=1)                          # [B, T, M, Fh]
+        Kcum = _time_cumsum(P, config.RING_WINDOW_CUMSUM_BLOCK)  # [B,T,M,Fh]
         agg1 = base[:, None] - Kcum
         h_in = jnp.broadcast_to(dirty[:, None], agg1.shape)
         if aggrs[0] == "mean":
             degb = jnp.sum(R_all, axis=2)                     # [B, M]
-            degc = jnp.cumsum(G.transpose(0, 2, 1), axis=1)   # [B, T, M]
+            degc = _time_cumsum(
+                G.transpose(0, 2, 1)[..., None],
+                config.RING_WINDOW_CUMSUM_BLOCK)[..., 0]      # [B, T, M]
             deg1 = degb[:, None] - degc
             agg1 = agg1 / jnp.maximum(deg1, 1.0)[..., None]
         H1 = conv_project(gnn_params[conv_idx[0]], agg1, h_in, acts[0])

@@ -286,3 +286,48 @@ class TestTrainAwareGate:
             edge_selectors=TemporalBackedge([1], direction="both"),
             graph_size=6)
         assert not m_bidir.window_applicable(dones=None)
+
+
+class TestCumsumBlock:
+    """Blocked kill-cumsum (config.RING_WINDOW_CUMSUM_BLOCK): same values to
+    float reassociation, for any block size incl. non-divisors."""
+
+    def test_blocked_matches_plain(self, monkeypatch):
+        from gcm_tpu import config
+
+        model, params = build(lambda: EuclideanEdge(max_distance=1.0))
+        xs = jax.random.normal(jax.random.PRNGKey(9), (3, 20, 5))
+        st = model.initial_state(3, 5)
+        ref_o, ref_st = ring_window(model, params, xs, st)
+        for block in (2, 3, 8, 64):
+            monkeypatch.setattr(config, "RING_WINDOW_CUMSUM_BLOCK", block)
+            o, fst = ring_window(model, params, xs, st)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o),
+                                       atol=1e-5, rtol=0)
+            np.testing.assert_allclose(np.asarray(fst.adj),
+                                       np.asarray(ref_st.adj), atol=1e-5,
+                                       rtol=0)
+
+    def test_blocked_grad_matches(self, monkeypatch):
+        from gcm_tpu import config
+
+        model, params = build(lambda: EuclideanEdge(max_distance=1.0))
+        xs = jax.random.normal(jax.random.PRNGKey(10), (2, 12, 5))
+        st = model.initial_state(2, 5)
+
+        def loss(p):
+            o, _ = ring_window(model, p, xs, st)
+            return jnp.sum(o ** 2)
+
+        g_plain = jax.grad(loss)(params)
+        monkeypatch.setattr(config, "RING_WINDOW_CUMSUM_BLOCK", 4)
+        g_blk = jax.grad(loss)(params)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_blk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_mean_aggr_blocked(self, monkeypatch):
+        from gcm_tpu import config
+
+        monkeypatch.setattr(config, "RING_WINDOW_CUMSUM_BLOCK", 4)
+        compare(lambda: EuclideanEdge(max_distance=1.0), aggr="mean")
