@@ -162,12 +162,16 @@ RING_WINDOW_TRAIN_MIN_N: int = 512
 # a ceiling, not a tiny budget.)
 RING_WINDOW_CHUNK_BYTES: int = int(4.5 * (1 << 30))
 
-# Kill-cumsum lowering for ring_window: None = plain jnp.cumsum (XLA
-# log-doubling: ~log2(T) full passes of the largest window buffer); an int
-# K = two-level blocked scan (~log2(K)+2 full passes; same values to float
-# reassociation — models/ring_window.py::_time_cumsum). Measured on-chip
-# in MEASURE_r5/window_cumsum.log; default follows that measurement.
-RING_WINDOW_CUMSUM_BLOCK: int | None = None
+# Kill-cumsum lowering for ring_window: None = plain jnp.cumsum; an int
+# K = two-level blocked scan (same values to float reassociation —
+# models/ring_window.py::_time_cumsum). Same-pass sweep at N=1024
+# (MEASURE_r5/window_cumsum.log): FORWARD is flat (plain 312k vs blk16
+# 303k vs blk64 328k — XLA's cumsum lowering is not the fwd bottleneck),
+# but TRAIN gains +18% at K=16 (130k -> 154k; the backward differentiates
+# the cumsum into a second, reverse cumsum, doubling the blocked form's
+# savings). K=16 is the measured default; fwd sits within the run noise
+# of plain there.
+RING_WINDOW_CUMSUM_BLOCK: int | None = 16
 
 
 _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
