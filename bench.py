@@ -590,7 +590,7 @@ def sane(fn, *a, floor=None, **kw):
     headline = 580% of the HBM floor slipped under the 5e8 absolute cap) —
     retry those too. One retry re-rolls the jitter; a still-insane value is
     reported (visible, not silently truncated)."""
-    cap = min(SANE_TS_MAX, 1.15 * floor) if floor else SANE_TS_MAX
+    cap = min(SANE_TS_MAX, 2.5 * floor) if floor else SANE_TS_MAX
     v = fn(*a, **kw)
     if v > cap:
         print(f"# degenerate slope ({v:.3g}/s > cap {cap:.3g}) from "
@@ -608,7 +608,10 @@ def floor_table():
     changes at fixed shapes). fwd_bwd uses the standard 3x-forward
     convention (backward ≈ 2 extra passes of the same tensors). Metrics
     with no principled formula (sparse whole-window, clique's O(N·F²)
-    step) carry null rather than an invented number."""
+    step) carry null rather than an invented number. NOTE: pct_of_floor
+    can legitimately exceed 100 for small-N configs — the floors model
+    HBM-resident state, and e.g. the N=128 [B,N,N] carry (2.1 MB) can stay
+    VMEM-resident across scan iterations."""
     from gcm_tpu.utils import roofline
 
     dense128 = roofline.dense_scan_step(32, 128, 32)["timesteps_per_s"]
@@ -655,8 +658,8 @@ def floor_table():
 def main():
     floors = floor_table()
     fwd, fwd_bwd = bench_dense_gcm()
-    if fwd > 1.15 * floors["gcm_timesteps_per_s"] \
-            or fwd_bwd > 1.15 * floors["fwd_bwd_timesteps_per_s"]:
+    if fwd > 2.5 * floors["gcm_timesteps_per_s"] \
+            or fwd_bwd > 2.5 * floors["fwd_bwd_timesteps_per_s"]:
         print(f"# headline above its roofline floor (fwd {fwd:.3g}, "
               f"fwd_bwd {fwd_bwd:.3g}) — degenerate, retrying once",
               file=sys.stderr, flush=True)
