@@ -98,7 +98,13 @@ def bench_dense_gcm(B=32, obs=8, hidden=32, N=128, T_lo=128, T_hi=640):
         return jnp.sum(outs)
 
     def loss(p, x):
-        outs, _ = model.scan(p, x, model.initial_state(B, obs))
+        # production-training parity: trainers pass unroll=SCAN_UNROLL
+        # explicitly (the fwd-path DENSE_SCAN_UNROLL default measured
+        # slower under grad)
+        from gcm_tpu import config
+
+        outs, _ = model.scan(p, x, model.initial_state(B, obs),
+                             unroll=config.SCAN_UNROLL)
         return jnp.mean(outs ** 2)
 
     def bwd(p, x):

@@ -109,6 +109,11 @@ def main():
                          "defaulted without measurement (ADVICE r3): "
                          "SparseGCM and BandedScoredGCM, unroll 1 vs 4, "
                          "two seeds each")
+    ap.add_argument("--fused-unroll", action="store_true",
+                    help="round-5 re-sweep: unroll 4/8/16 on the FUSED "
+                         "dense scan, fwd + train, two seeds (the r3 u8 "
+                         "regression-artifact predates the fused step, and "
+                         "the N=128 carry is VMEM-resident)")
     ap.add_argument("--confirm", action="store_true",
                     help="variance check of the first run's winners: banded "
                          "unroll 1/4/8(+merged) and the missing 4+merged "
@@ -125,6 +130,44 @@ def main():
         results[name] = {"timesteps_per_s": round(rate),
                          "us_per_step": round(slope * 1e6, 3)}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.fused_unroll:
+        assert config.DENSE_FUSED_STEP
+        for unroll in (4, 8, 16):
+            for rep in (0, 1):
+                rate, slope = slope_rate(dense_scan_fn(unroll),
+                                         *args.t_dense,
+                                         seed=100 * rep + 31 + unroll)
+                record(f"dense_fused_u{unroll}_r{rep}", rate, slope)
+        import functools as _ft
+
+        def train_fn(unroll):
+            from gcm_tpu.models.presets import readme_dense_gcm
+
+            model = readme_dense_gcm(obs_size=OBS, hidden=HID, graph_size=N)
+            params = model.init(jax.random.PRNGKey(0))
+            state0 = model.initial_state(B, OBS)
+
+            def loss(p, xs):
+                outs, _ = model.scan(p, xs, state0, unroll=unroll)
+                return jnp.sum(outs ** 2)
+
+            def fn(xs, T):
+                g = jax.grad(loss)(params, xs)
+                return sum(jnp.sum(leaf)
+                           for leaf in jax.tree_util.tree_leaves(g))
+
+            return fn
+
+        for unroll in (4, 8):
+            for rep in (0, 1):
+                rate, slope = slope_rate(train_fn(unroll), *args.t_dense,
+                                         seed=100 * rep + 61 + unroll)
+                record(f"dense_fused_train_u{unroll}_r{rep}", rate, slope)
+        print(json.dumps({"backend": jax.default_backend(),
+                          "workload": f"B={B} obs={OBS} hid={HID} N={N}",
+                          "results": results}), flush=True)
+        return
 
     if args.sparse_unroll:
         for unroll in (1, 4):

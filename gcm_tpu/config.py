@@ -106,6 +106,16 @@ TRAIN_REMAT_CHUNK: int = 32
 RING_REVERSE_BWD: bool = False
 DENSE_REVERSE_BWD: bool = False
 
+# lax.scan unroll for the FUSED dense step's FORWARD (callers that pass
+# unroll=None; trainers pass SCAN_UNROLL explicitly, and the training
+# backward measured u4 > u8). Round-5 sweep (scan_opt --fused-unroll, two
+# passes x two seeds): the u8 > u4 ordering reproduces in 4/4 same-pass
+# seed-pairs (+12-15% in the clean pass; the second pass's absolutes were
+# jitter-degenerate and only orderings were used), u16 loses 3/4. The
+# VMEM-resident N=128 carry is why deeper unrolling now pays where the r3
+# pre-fusion sweep saw an artifact.
+DENSE_SCAN_UNROLL: int = 8
+
 # lax.scan unroll for the FUSED ring step specifically: the single pointwise
 # rewrite aliases the carry in place, and unrolling breaks that (measured
 # round 4: 6.41M at unroll=1 vs 4.14M at unroll=4). Other cores keep
@@ -178,7 +188,8 @@ _TUNABLE_KEYS = ("USE_PALLAS", "PALLAS_DENSE_GCONV", "MERGED_CONV_PROJ",
                  "PALLAS_SPMM_MAX_NODES", "PALLAS_SPMM_MIN_WORK",
                  "EMIT_WINDOW_FACTOR", "SCAN_UNROLL", "RING_FUSED_STEP",
                  "RING_SCAN_UNROLL", "SPMM_PRECISION", "TRAIN_REMAT_CHUNK",
-                 "DENSE_FUSED_STEP", "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
+                 "DENSE_FUSED_STEP", "DENSE_SCAN_UNROLL",
+                 "HOP_AUTO_RATIO", "HOP_AUTO_MIN_NF",
                  "NAV_INCREMENTAL_MIN_V", "RING_REVERSE_BWD", "DENSE_REVERSE_BWD",
                  "RING_WINDOW_FWD_MIN_N",
                  "RING_WINDOW_TRAIN_MIN_N", "RING_WINDOW_CHUNK_BYTES",

@@ -478,5 +478,13 @@ class DenseGCM:
                 "remat='reverse' needs dones=None, edge_weights off and "
                 "fused-eligible selectors (dense_reversible_supported)")
             return dense_reversible_scan(self, params, xs, state, key=key)
+        from gcm_tpu import config
+
+        if (unroll is None and config.DENSE_FUSED_STEP
+                and dense_fused_supported(self)):
+            # forward-path default (trainers pass SCAN_UNROLL explicitly;
+            # the fused step's u8>u4 ordering reproduced 4/4 same-pass
+            # seed-pairs, round-5 fused_unroll sweep)
+            unroll = config.DENSE_SCAN_UNROLL
         return _scan_with_resets(self, params, xs, state, key, dones, remat,
                                  unroll)
