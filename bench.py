@@ -585,6 +585,7 @@ def bench_ring_window_train(B=32, obs=8, hidden=32, N=1024, T_lo=96,
 
 
 SANE_TS_MAX = 5e8  # no per-chip scan path measures >500M timesteps/s
+DEGENERATE = []  # metrics still insane after retries (emitted in the line)
 
 
 def sane(fn, *a, floor=None, **kw):
@@ -598,11 +599,17 @@ def sane(fn, *a, floor=None, **kw):
     reported (visible, not silently truncated)."""
     cap = min(SANE_TS_MAX, 2.5 * floor) if floor else SANE_TS_MAX
     v = fn(*a, **kw)
-    if v > cap:
+    for attempt in range(3):
+        if v <= cap:
+            return v
         print(f"# degenerate slope ({v:.3g}/s > cap {cap:.3g}) from "
-              f"{fn.__name__}{a} — retrying once", file=sys.stderr,
+              f"{fn.__name__}{a} — retry {attempt + 1}/3", file=sys.stderr,
               flush=True)
         v = fn(*a, **kw)
+    if v > cap:
+        # report visibly AND machine-readably (round-5 close: a tunnel
+        # session produced mass degenerates that survived one retry)
+        DEGENERATE.append(getattr(fn, "__name__", str(fn)) + repr(a))
     return v
 
 
@@ -664,12 +671,16 @@ def floor_table():
 def main():
     floors = floor_table()
     fwd, fwd_bwd = bench_dense_gcm()
-    if fwd > 2.5 * floors["gcm_timesteps_per_s"] \
-            or fwd_bwd > 2.5 * floors["fwd_bwd_timesteps_per_s"]:
+    for attempt in range(3):
+        if fwd <= 2.5 * floors["gcm_timesteps_per_s"] \
+                and fwd_bwd <= 2.5 * floors["fwd_bwd_timesteps_per_s"]:
+            break
         print(f"# headline above its roofline floor (fwd {fwd:.3g}, "
-              f"fwd_bwd {fwd_bwd:.3g}) — degenerate, retrying once",
-              file=sys.stderr, flush=True)
+              f"fwd_bwd {fwd_bwd:.3g}) — degenerate, retry "
+              f"{attempt + 1}/3", file=sys.stderr, flush=True)
         fwd, fwd_bwd = bench_dense_gcm()
+    else:
+        DEGENERATE.append("bench_dense_gcm")
     ring = sane(bench_ring_gcm, floor=floors["ring_timesteps_per_s"])
     banded = sane(bench_banded_gcm, floor=floors["banded_timesteps_per_s"])
     banded_win = sane(
@@ -734,6 +745,8 @@ def main():
         "config": "B=32 obs=8 hidden=32 graph=128 T=128 TemporalBackedge[1]",
     }
     floors["value"] = floors["gcm_timesteps_per_s"]  # the headline metric
+    if DEGENERATE:
+        results["degenerate_metrics"] = sorted(set(DEGENERATE))
     results["pct_of_floor"] = {
         k: (round(100.0 * results[k] / floors[k], 2) if k in floors
             else None)
