@@ -693,7 +693,8 @@ def main():
     spmm = bench_spmm()
     dense_edge = sane(bench_dense_edge,
                       floor=floors["dense_edge_n512_timesteps_per_s"])
-    clique = sane(bench_clique)
+    clique = sane(bench_clique,
+                  floor=floors["clique_n512_timesteps_per_s"])
     # clique window() variants dropped from the headline matrix round 4: the
     # path is gated OFF on TPU (CliqueGCM.window_profitable — loses 5-11x to
     # its own scan, MEASURE_r3/clique_window.log), so benching it here
@@ -708,8 +709,9 @@ def main():
                        floor=dense128_floor)
     ring_learned = sane(bench_ring_scored, "learned",
                         floor=dense128_floor)
-    nav = sane(bench_nav_gcm)
-    nav_inc = sane(bench_nav_gcm, incremental=True)
+    nav = sane(bench_nav_gcm, floor=floors["nav_gcm_timesteps_per_s"])
+    nav_inc = sane(bench_nav_gcm, incremental=True,
+                   floor=floors["nav_incremental_timesteps_per_s"])
     # the incremental core's WIN regime (nav_core() routes V >= 256 here —
     # config.NAV_INCREMENTAL_MIN_V; 1.8x at V=256, 6.1x at V=512): one bench
     # point where the dispatch payoff is the thing being regression-tracked
